@@ -1,0 +1,263 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters constants across files (model.py:20-34,
+audio_to_midi_dataset.py:26-46, train.py:743-772).  Here everything lives in
+one typed module consumed by every entry point, and the checkpoint metadata
+round-trips the same dict shape as the reference's ``get_model_metadata``
+(model.py:36-41) so metadata-drift warnings keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Data constants (reference: audio_to_midi_dataset.py:26-46)
+# ---------------------------------------------------------------------------
+
+MIDI_EVENT_VOCAB_SIZE = 90          # piano keys 88 + 2 (A0..C8 biased by -21)
+MODEL_AUDIO_LENGTH = 5.0            # seconds per model window
+NUM_VELOCITY_CATEGORIES = 10
+FREQUENCY_CUTOFF = 8_000
+SAMPLE_RATE = 2 * FREQUENCY_CUTOFF  # 16 kHz
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    midi_vocab_size: int = MIDI_EVENT_VOCAB_SIZE
+    model_audio_length: float = MODEL_AUDIO_LENGTH
+    num_velocity_categories: int = NUM_VELOCITY_CATEGORIES
+    frequency_cutoff: int = FREQUENCY_CUTOFF
+
+    @property
+    def sample_rate(self) -> int:
+        return 2 * self.frequency_cutoff
+
+    @property
+    def samples_per_window(self) -> int:
+        return int(self.sample_rate * self.model_audio_length)
+
+    def metadata(self) -> dict[str, Any]:
+        # Key names follow reference audio_to_midi_dataset.py:41-46.
+        return {
+            "midi_voccab_size": self.midi_vocab_size,
+            "max_event_timestamp": self.model_audio_length,
+            "num_velocity_categories": self.num_velocity_categories,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Model config (reference: model.py:20-34)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    dims: tuple[int, ...] = tuple(4 * (2 ** i) for i in range(7))
+    depths: tuple[int, ...] = (3, 3, 3, 3, 3, 21, 3)
+    cnn_hidden_expansion: float = 2.0
+
+    num_transformer_layers: int = 8      # alternating (local, global) pairs
+    num_transformer_heads: int = 4
+    attention_size: int = 64             # per-head dim
+    compressed_attention_q_size: int = 64
+    compressed_attention_kv_size: int = 64
+    transformer_dropout_rate: float = 0.1
+    transformer_hidden_expansion: float = 2.0
+    local_context_window: int = 16       # reference model.py:635
+    sdd_rate: float = 0.1
+
+    # The reference never threads ``enable_dropout`` into the CNN blocks
+    # (model.py:757 passes only ``key=``), so stochastic depth is configured
+    # but inert there.  We keep that behaviour by default and expose a switch.
+    enable_cnn_stochastic_depth: bool = False
+
+    rope_max_positions: int = 300        # reference train.py:786
+    rope_theta: float = 10_000.0
+
+    output_vocab: int = MIDI_EVENT_VOCAB_SIZE
+
+    @property
+    def transformer_hidden_dim(self) -> int:
+        return self.dims[-1]
+
+    @property
+    def transformer_intermediate_size(self) -> int:
+        return int(self.transformer_hidden_dim * self.transformer_hidden_expansion)
+
+    @property
+    def cnn_hidden_dims(self) -> tuple[int, ...]:
+        return tuple(int(d * self.cnn_hidden_expansion) for d in self.dims)
+
+    @property
+    def total_downsample(self) -> int:
+        # stem /5, then /2 per later stage
+        factor = 5
+        for _ in self.dims[1:]:
+            factor *= 2
+        return factor
+
+    def output_frames(self, num_samples: int) -> int:
+        return num_samples // self.total_downsample
+
+    def metadata(self) -> dict[str, Any]:
+        # Mirrors the reference's ``model_config`` dict keys (model.py:20-34).
+        return {
+            "dims": list(self.dims),
+            "depths": list(self.depths),
+            "cnn_hidden_expansion": self.cnn_hidden_expansion,
+            "num_transformer_layers": self.num_transformer_layers,
+            "num_transformer_heads": self.num_transformer_heads,
+            "attention_size": self.attention_size,
+            "compressed_attention_q_size": self.compressed_attention_q_size,
+            "compressed_attention_kv_size": self.compressed_attention_kv_size,
+            "transformer_dropout_rate": self.transformer_dropout_rate,
+            "transformer_hidden_expansion": self.transformer_hidden_expansion,
+            "sdd_rate": self.sdd_rate,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Precision policy (reference train.py:35-37; TPU-native default is bf16)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PrecisionConfig:
+    """Params live in ``param_dtype``; the forward/backward pass is run in
+    ``compute_dtype``; losses/grad accumulation in f32.
+
+    The reference trains f16 with dynamic loss scaling (train.py:35-37,
+    334-382); on TPU the native fast dtype is bfloat16, which does not need
+    loss scaling — but the scaling/rollback machinery is still wired so the
+    f16 policy is available for parity.
+    """
+
+    param_dtype: Any = jnp.float32
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def needs_loss_scaling(self) -> bool:
+        return self.compute_dtype == jnp.float16
+
+
+# ---------------------------------------------------------------------------
+# Augmentation settings (reference python.rs:838-920, train.py:758-768)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TransformSettings:
+    pan_probability: float = 0.8
+    channel_switch_probability: float = 0.5
+    cut_probability: float = 0.4
+    rotate_probability: float = 0.9
+    random_erasing_probability: float = 0.3
+    mixup_probability: float = 0.6
+    gain_probability: float = 0.8
+    noise_probability: float = 0.8
+    label_smoothing_alpha: float = 0.005
+
+    # The reference passes channel_switch_probability to the pan transform
+    # (python.rs:923) — almost certainly a bug.  ``True`` reproduces it;
+    # ``False`` uses pan_probability as intended.
+    parity_pan_uses_channel_switch_probability: bool = False
+
+    def as_tuple(self) -> tuple:
+        return (
+            self.pan_probability,
+            self.channel_switch_probability,
+            self.cut_probability,
+            self.rotate_probability,
+            self.random_erasing_probability,
+            self.mixup_probability,
+            self.gain_probability,
+            self.noise_probability,
+            self.label_smoothing_alpha,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Training config (reference: train.py:743-772)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64
+    minibatch_size_per_device: int = 8     # reference: minibatch = 8 * n_devices
+    num_steps: int = 200_000
+    warmup_steps: int = 1000
+    base_learning_rate: float = 1e-4
+    layer_lr_decay: float = 0.7            # CNN layer-wise LR decay
+    weight_decay: float = 0.005
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-3                 # reference train.py:692 — intentional
+    global_norm_clip: float = 1.0
+    ensemble_size: int = 1
+    checkpoint_every: int = 20
+    checkpoints_to_keep: int = 3
+    testset_loss_every: int = 20
+    print_every: int = 10
+    dataset_num_workers: int = 3
+    recovery_snapshot_every: int = 100     # NaN-rollback snapshot (train.py:350)
+    loss_scale_increase_threshold: float = 10_000.0  # train.py:379
+    seed: int = 1234
+
+
+@dataclass(frozen=True)
+class InferConfig:
+    window_overlap: float = 0.5   # seconds of overlap between 5 s windows
+    checkpoint_dir: str = "audio_to_midi_checkpoints"
+
+
+# ---------------------------------------------------------------------------
+# Top-level config + metadata round-trip
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    precision: PrecisionConfig = field(default_factory=PrecisionConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    infer: InferConfig = field(default_factory=InferConfig)
+    transforms: TransformSettings = field(default_factory=TransformSettings)
+
+    def metadata(self) -> dict[str, Any]:
+        """Checkpoint metadata, same shape as reference model.py:36-41."""
+        return {"model": self.model.metadata(), "data_prep": self.data.metadata()}
+
+
+DEFAULT_CONFIG = Config()
+
+
+def config_from_metadata(meta: dict[str, Any]) -> Config:
+    """Rebuild a Config from checkpoint metadata (inverse of .metadata())."""
+    m = meta.get("model", {})
+    d = meta.get("data_prep", {})
+    model = ModelConfig(
+        dims=tuple(m.get("dims", ModelConfig.dims)),
+        depths=tuple(m.get("depths", ModelConfig.depths)),
+        cnn_hidden_expansion=m.get("cnn_hidden_expansion", 2.0),
+        num_transformer_layers=m.get("num_transformer_layers", 8),
+        num_transformer_heads=m.get("num_transformer_heads", 4),
+        attention_size=m.get("attention_size", 64),
+        compressed_attention_q_size=m.get("compressed_attention_q_size", 64),
+        compressed_attention_kv_size=m.get("compressed_attention_kv_size", 64),
+        transformer_dropout_rate=m.get("transformer_dropout_rate", 0.1),
+        transformer_hidden_expansion=m.get("transformer_hidden_expansion", 2.0),
+        sdd_rate=m.get("sdd_rate", 0.1),
+    )
+    data = DataConfig(
+        midi_vocab_size=d.get("midi_voccab_size", MIDI_EVENT_VOCAB_SIZE),
+        model_audio_length=d.get("max_event_timestamp", MODEL_AUDIO_LENGTH),
+        num_velocity_categories=d.get("num_velocity_categories", NUM_VELOCITY_CATEGORIES),
+    )
+    return Config(model=model, data=data)

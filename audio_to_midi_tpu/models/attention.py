@@ -1,0 +1,180 @@
+"""Compressed-KV (MLA-style) self-attention and sliding-window local attention.
+
+Reference semantics:
+  * SelfAttention (model.py:260-374): q_up D->H*hd; shared kv_down D->ckv with
+    key_up/value_up ckv->H*hd; RoPE on q and k after projection; out-proj; all
+    projections bias-free; fp32 softmax; query scaled by 1/sqrt(hd); optional
+    attention-weight dropout.
+  * LocalSelfAttention (model.py:377-471): symmetric pad so stride-8 windows of
+    16 cover everything; full attention per window (RoPE positions restart at 0
+    inside every window); overlapping window outputs averaged.
+
+    QUIRK preserved on purpose: the reference scatters window outputs using
+    *padded* coordinates into an *unpadded* output buffer (model.py:453-463),
+    so with pad_left=3 the averaged local-attention branch is shifted by 3
+    frames relative to the residual stream, and out-of-range window outputs are
+    dropped.  Training and inference share the shift, so the network learns
+    around it; we must reproduce it exactly for checkpoint parity.  Instead of
+    a scatter-add we use the window==2*stride structure: each stride-sized
+    block of the padded sequence receives the first half of window k and the
+    second half of window k-1 — a pad-and-add over reshapes, no scatter, which
+    is the TPU-friendly formulation of the same arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from . import nn
+from .nn import Params
+from .rope import RopeFreqs, apply_rope
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_self_attention(key, cfg: ModelConfig, input_size: int | None = None) -> Params:
+    d = input_size or cfg.transformer_hidden_dim
+    h, hd = cfg.num_transformer_heads, cfg.attention_size
+    ckv = cfg.compressed_attention_kv_size
+    k_q, k_kvd, k_ku, k_vu, k_out = jax.random.split(key, 5)
+    return {
+        "q_up": nn.init_linear(k_q, d, h * hd, use_bias=False),
+        "kv_down": nn.init_linear(k_kvd, d, ckv, use_bias=False),
+        "k_up": nn.init_linear(k_ku, ckv, h * hd, use_bias=False),
+        "v_up": nn.init_linear(k_vu, ckv, h * hd, use_bias=False),
+        "out": nn.init_linear(k_out, h * hd, d, use_bias=False),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _qkv(x: jax.Array, p: Params, num_heads: int, rope: RopeFreqs):
+    """Project to rope'd q/k and v.  x: (..., S, D) -> (..., S, H, hd) each.
+
+    Positions for RoPE run over the S axis and restart at 0 — for the local
+    path x is (..., W, 16, D) so every window sees positions 0..15, exactly
+    like the reference passing each window through SelfAttention.
+    """
+    *lead, s, _ = x.shape
+    q = nn.linear(x, p["q_up"]).reshape(*lead, s, num_heads, -1)
+    q = apply_rope(q, rope)
+    ckv = nn.linear(x, p["kv_down"])
+    k = nn.linear(ckv, p["k_up"]).reshape(*lead, s, num_heads, -1)
+    k = apply_rope(k, rope)
+    v = nn.linear(ckv, p["v_up"]).reshape(*lead, s, num_heads, -1)
+    return q, k, v
+
+
+def _attend(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    dropout_rate: float,
+    key: jax.Array | None,
+    enable_dropout: bool,
+) -> jax.Array:
+    """Multi-head attention core.  q,k,v: (..., S, H, hd) -> (..., S, H*hd).
+
+    fp32 softmax, query pre-scaled by 1/sqrt(hd) (reference model.py:250-252).
+    """
+    hd = q.shape[-1]
+    q = q / jnp.asarray(math.sqrt(hd), q.dtype)
+    logits = jnp.einsum("...shd,...Shd->...hsS", q, k)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+    weights = nn.dropout(weights, dropout_rate, key, enable_dropout)
+    attn = jnp.einsum("...hsS,...Shd->...shd", weights, v)
+    *lead, s, h, d = attn.shape
+    return attn.reshape(*lead, s, h * d)
+
+
+def self_attention(
+    x: jax.Array,
+    p: Params,
+    rope: RopeFreqs,
+    cfg: ModelConfig,
+    *,
+    key: jax.Array | None = None,
+    enable_dropout: bool = False,
+) -> jax.Array:
+    """Global compressed-KV attention.  x: (..., S, D) -> same shape."""
+    q, k, v = _qkv(x, p, cfg.num_transformer_heads, rope)
+    attn = _attend(
+        q, k, v,
+        dropout_rate=cfg.transformer_dropout_rate,
+        key=key,
+        enable_dropout=enable_dropout,
+    )
+    return nn.linear(attn, p["out"])
+
+
+def _local_padding(seq_len: int, window: int) -> tuple[int, int]:
+    """Reference model.py:421-428 padding rule."""
+    stride = window // 2
+    required = stride - (seq_len - window) % stride
+    if required == stride:
+        return 0, 0
+    return required // 2, required - required // 2
+
+
+def local_self_attention(
+    x: jax.Array,
+    p: Params,
+    rope: RopeFreqs,
+    cfg: ModelConfig,
+    *,
+    key: jax.Array | None = None,
+    enable_dropout: bool = False,
+) -> jax.Array:
+    """Sliding-window attention with overlap averaging (+ reference quirk).
+
+    x: (B, S, D) -> (B, S, D).
+    """
+    b, seq_len, d = x.shape
+    window = cfg.local_context_window
+    stride = window // 2
+    assert window == 2 * stride, "overlap-average formulation needs window == 2*stride"
+
+    pad_l, pad_r = _local_padding(seq_len, window)
+    xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
+    padded = xp.shape[1]
+    num_windows = (padded - window) // stride + 1
+    num_blocks = padded // stride
+    assert num_blocks == num_windows + 1
+
+    # (B, num_windows, window, D): window w covers padded[w*stride : w*stride+window].
+    # Built from two interleaved non-overlapping reshapes — no gather.
+    blocks = xp.reshape(b, num_blocks, stride, d)
+    windows = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=2)
+
+    q, k, v = _qkv(windows, p, cfg.num_transformer_heads, rope)
+    out_w = _attend(
+        q, k, v,
+        dropout_rate=cfg.transformer_dropout_rate,
+        key=key,
+        enable_dropout=enable_dropout,
+    )  # (B, num_windows, window, H*hd)
+    out_w = nn.linear(out_w, p["out"])  # (B, num_windows, window, D)
+
+    # Overlap-average in padded coordinates (reference scatter at
+    # model.py:453-469), then crop to the first seq_len padded positions —
+    # reproducing the dropped out-of-range indices and the pad_l shift.
+    first = out_w[:, :, :stride, :]   # window k's contribution to block k
+    second = out_w[:, :, stride:, :]  # window k's contribution to block k+1
+    zeros = jnp.zeros((b, 1, stride, d), out_w.dtype)
+    block_sum = jnp.concatenate([first, zeros], axis=1) + jnp.concatenate(
+        [zeros, second], axis=1
+    )  # (B, num_blocks, stride, D)
+    count = jnp.ones((num_blocks,), x.dtype).at[1:-1].set(2.0)
+    avg = block_sum / count[None, :, None, None]
+    return avg.reshape(b, padded, d)[:, :seq_len, :]

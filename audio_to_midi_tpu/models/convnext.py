@@ -1,0 +1,170 @@
+"""ConvNeXt-style 1-D audio encoder.
+
+Reference semantics (model.py:84-167, 673-759):
+  * Stem: Conv1d 2->dims[0], kernel=stride=5, then channelwise LayerNorm(fp32).
+  * Downsample: LayerNorm(fp32) then Conv1d k=2 s=2 doubling channels.
+  * Block: depthwise k=7 SAME -> LN(fp32) -> 1x1 to hidden -> GELU -> 1x1 back
+    -> layer-scale gamma (init 1e-6) -> stochastic depth -> + residual.
+
+TPU-first differences: everything is batched NWC ``(B, L, C)``; the 1x1 convs
+are stored/applied as matmuls; the stem's k=s=5 conv is a patch-reshape +
+matmul (identical arithmetic, keeps the MXU busy instead of a tiny conv).
+
+Note: the reference never enables stochastic depth in the CNN path — its
+Sequential call sites pass only ``key=`` so ``enable_dropout`` stays False
+(model.py:757,160,167).  We reproduce that default; set
+``ModelConfig.enable_cnn_stochastic_depth=True`` to actually turn it on.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from . import nn
+from .nn import Params
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_stem(key, out_channels: int, kernel_size: int = 5) -> Params:
+    return {
+        "conv": nn.init_conv1d(key, 2, out_channels, kernel_size),
+        "norm": nn.init_layer_norm(out_channels),
+    }
+
+
+def init_downsample(key, in_channels: int, out_channels: int) -> Params:
+    return {
+        "conv": nn.init_conv1d(key, in_channels, out_channels, 2),
+        "norm": nn.init_layer_norm(in_channels),
+    }
+
+
+def init_block(key, channels: int, hidden_dim: int, kernel_size: int = 7) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "depth_conv": nn.init_conv1d(k1, channels, channels, kernel_size, groups=channels),
+        "norm": nn.init_layer_norm(channels),
+        "pw1": nn.init_linear(k2, channels, hidden_dim),
+        "pw2": nn.init_linear(k3, hidden_dim, channels),
+        "gamma": jnp.full((channels,), 1e-6),
+    }
+
+
+def init_cnn(key, cfg: ModelConfig) -> tuple[Params, list[float]]:
+    """Build all 7 stages.  Returns (params, per-block sdd rates)."""
+    dims = cfg.dims
+    hidden = cfg.cnn_hidden_dims
+    depths = cfg.depths
+    sdd_rates = [
+        float(r) for r in jnp.linspace(0.0, cfg.sdd_rate, sum(depths))
+    ]
+
+    stages = []
+    keys = jax.random.split(key, len(dims))
+    depth_count = 0
+    for i, stage_key in enumerate(keys):
+        ds_key, blocks_key = jax.random.split(stage_key)
+        if i == 0:
+            down = init_stem(ds_key, dims[0])
+        else:
+            down = init_downsample(ds_key, dims[i - 1], dims[i])
+        block_keys = jax.random.split(blocks_key, depths[i])
+        blocks = [
+            init_block(bk, dims[i], hidden[i]) for bk in block_keys
+        ]
+        stages.append({"down": down, "blocks": blocks})
+        depth_count += depths[i]
+    return {"stages": stages, "final_norm": nn.init_layer_norm(dims[-1])}, sdd_rates
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def stem(x: jax.Array, p: Params, kernel_size: int = 5) -> jax.Array:
+    """x: (B, L, 2) -> (B, L // k, C).  Conv k=s implemented as patch matmul."""
+    b, length, cin = x.shape
+    w = p["conv"]["w"]  # (K, 2, C)
+    k = w.shape[0]
+    patches = x[:, : (length // k) * k, :].reshape(b, length // k, k * cin)
+    wmat = w.reshape(k * cin, w.shape[2])
+    out = patches @ wmat.astype(x.dtype) + p["conv"]["b"].astype(x.dtype)
+    return nn.layer_norm(out, p["norm"])
+
+
+def downsample(x: jax.Array, p: Params) -> jax.Array:
+    """LN then k=2 s=2 conv doubling channels, as a patch matmul."""
+    x = nn.layer_norm(x, p["norm"])
+    b, length, cin = x.shape
+    w = p["conv"]["w"]  # (2, C, 2C)
+    patches = x[:, : (length // 2) * 2, :].reshape(b, length // 2, 2 * cin)
+    wmat = w.reshape(2 * cin, w.shape[2])
+    return patches @ wmat.astype(x.dtype) + p["conv"]["b"].astype(x.dtype)
+
+
+def block(
+    x: jax.Array,
+    p: Params,
+    *,
+    sdd_rate: float,
+    enable_sdd: bool,
+    key: jax.Array | None,
+) -> jax.Array:
+    """ConvNeXt block.  x: (B, L, C)."""
+    channels = x.shape[-1]
+    out = nn.conv1d(x, p["depth_conv"], padding="SAME", groups=channels)
+    out = nn.layer_norm(out, p["norm"])
+    out = nn.linear(out, p["pw1"])
+    out = nn.gelu(out)
+    out = nn.linear(out, p["pw2"])
+    out = p["gamma"].astype(out.dtype) * out
+    if enable_sdd and sdd_rate > 0.0:
+        # Whole-branch drop, one draw per sample (reference model.py:80-81).
+        rand = jax.random.uniform(key, (x.shape[0], 1, 1))
+        out = jnp.where(rand < sdd_rate, jnp.zeros_like(out), out)
+    return out + x
+
+
+def cnn_forward(
+    x: jax.Array,
+    params: Params,
+    cfg: ModelConfig,
+    *,
+    key: jax.Array | None = None,
+    enable_dropout: bool = False,
+) -> jax.Array:
+    """Full encoder.  x: (B, L_samples, 2) -> (B, frames, dims[-1])."""
+    import numpy as np
+
+    enable_sdd = enable_dropout and cfg.enable_cnn_stochastic_depth
+    sdd_rates = np.linspace(0.0, cfg.sdd_rate, sum(cfg.depths))
+    n_blocks_total = sum(cfg.depths)
+    if enable_sdd:
+        block_keys = list(jax.random.split(key, n_blocks_total))
+    else:
+        block_keys = [None] * n_blocks_total
+
+    h = x
+    depth_count = 0
+    for i, stage in enumerate(params["stages"]):
+        if i == 0:
+            h = stem(h, stage["down"])
+        else:
+            h = downsample(h, stage["down"])
+        for j, bp in enumerate(stage["blocks"]):
+            h = block(
+                h,
+                bp,
+                sdd_rate=float(sdd_rates[depth_count + j]),
+                enable_sdd=enable_sdd,
+                key=block_keys[depth_count + j],
+            )
+        depth_count += len(stage["blocks"])
+    return nn.layer_norm(h, params["final_norm"])

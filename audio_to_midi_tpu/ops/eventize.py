@@ -1,0 +1,150 @@
+"""Eventization: frame probabilities -> MIDI events — on-device.
+
+Reference semantics (rust common.rs:47-144): an independent state machine per
+key scanned over frames:
+  * attack when p > 0.5 while inactive;
+  * release when p < 0.1 while active (emit with duration = frame - start,
+    min 1);
+  * re-activation while active: requires > 5 frames since activation, a rising
+    edge (mean of next 6 frames minus mean of previous 6 frames > 0.1, both
+    sums divided by 6 even when truncated at the sequence end), p > 0.4, and
+    NOT (p[f] < p[f+1]) — i.e. the re-activation is deferred to the local
+    probability peak.  Emits the old note with duration = frame-1-start (min
+    1) and restarts at the current frame.
+  * any still-active notes are closed at the end with duration N - start.
+  * velocity is the constant 7 (common.rs:63-66 TODO) — preserved for parity;
+    the tracked activation probability only ever fed that constant, so it is
+    not computed here.
+
+The per-key machines are data-independent, so the whole thing vectorizes as a
+single ``lax.scan`` over frames carrying (active, started) per key, emitting a
+dense (frames, keys) event raster that is compacted to a sorted event list on
+the host by :func:`extract_events`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ACTIVATION_THRESHOLD = 0.5
+DEACTIVATION_THRESHOLD = 0.1
+REACTIVATION_THRESHOLD = 0.4
+REACTIVATION_GAP = 0.1
+REACTIVATION_MIN_FRAMES = 5.0
+EDGE_SAMPLES = 6
+FIXED_VELOCITY = 7
+
+
+@jax.jit
+def extract_events_dense(probs: jax.Array):
+    """Run the eventizer state machine on-device.
+
+    Args:
+      probs: (num_frames, num_keys) float.
+    Returns:
+      fired:    (num_frames, num_keys) bool — an event was emitted at this
+                (emission frame, key).
+      attack:   (num_frames, num_keys) int32 — attack frame of that event.
+      duration: (num_frames, num_keys) int32 — duration in frames (>= 1).
+      final_active:  (num_keys,) bool — notes still playing at the end.
+      final_attack:  (num_keys,) int32 — their attack frames.
+    """
+    p = probs.astype(jnp.float32)
+    num_frames, num_keys = p.shape
+
+    # Rising-edge averages, precomputed for every frame (vectorized):
+    #   prev_avg[f] = sum(p[f-6 .. f-1]) / 6      (only used when f >= 6)
+    #   next_avg[f] = sum(p[f .. min(f+6, N)-1]) / 6   (note: /6 even when
+    #   truncated — reference common.rs:107-111)
+    # Summed as an explicit left-fold of shifted copies so the f32 rounding
+    # order matches the reference's sequential accumulation bit-for-bit.
+    def shifted(offset):
+        # p shifted so row f holds p[f + offset], zero-padded out of range.
+        if offset >= 0:
+            return jnp.concatenate(
+                [p[offset:], jnp.zeros((offset, num_keys), jnp.float32)], axis=0
+            )
+        return jnp.concatenate(
+            [jnp.zeros((-offset, num_keys), jnp.float32), p[:offset]], axis=0
+        )
+
+    prev_sum = jnp.zeros_like(p)
+    next_sum = jnp.zeros_like(p)
+    for i in range(EDGE_SAMPLES):
+        prev_sum = prev_sum + shifted(i - EDGE_SAMPLES)
+        next_sum = next_sum + shifted(i)
+    prev_avg = prev_sum / EDGE_SAMPLES
+    next_avg = next_sum / EDGE_SAMPLES
+    rising = (next_avg - prev_avg) > REACTIVATION_GAP  # (N, K)
+
+    # p[f] < p[f+1] -> defer re-activation to the next frame (common.rs:116-119)
+    p_next = jnp.concatenate([p[1:], p[-1:]], axis=0)
+    defer = jnp.concatenate(
+        [p[:-1] < p[1:], jnp.zeros((1, num_keys), bool)], axis=0
+    )
+
+    def step(carry, xs):
+        active, started = carry
+        pf, rising_f, defer_f, frame = xs
+
+        deactivate = active & (pf < DEACTIVATION_THRESHOLD)
+        time_ok = (frame.astype(jnp.float32) - started.astype(jnp.float32)) > REACTIVATION_MIN_FRAMES
+        reactivate = (
+            active
+            & jnp.logical_not(deactivate)
+            & jnp.logical_not(defer_f)
+            & (pf > REACTIVATION_THRESHOLD)
+            & time_ok
+            & rising_f
+        )
+        attack_new = jnp.logical_not(active) & (pf > ACTIVATION_THRESHOLD)
+
+        fired = deactivate | reactivate
+        # duration: release -> frame - started; re-activation -> frame-1-started
+        dur = jnp.where(reactivate, frame - 1 - started, frame - started)
+        dur = jnp.maximum(dur, 1)
+
+        new_active = (active & jnp.logical_not(deactivate)) | attack_new
+        new_started = jnp.where(
+            reactivate | attack_new, jnp.full_like(started, 0) + frame, started
+        )
+
+        return (new_active, new_started), (fired, started, dur)
+
+    init = (
+        jnp.zeros((num_keys,), bool),
+        jnp.zeros((num_keys,), jnp.int32),
+    )
+    (final_active, final_started), (fired, attack, duration) = jax.lax.scan(
+        step,
+        init,
+        (p, rising, defer, jnp.arange(num_frames, dtype=jnp.int32)),
+    )
+    return fired, attack, duration, final_active, final_started
+
+
+def extract_events(probs) -> list[tuple[int, int, int, int]]:
+    """Frame probabilities -> sorted (attack, key, duration, velocity) list.
+
+    Host-facing wrapper matching the reference's ``modelutil.extract_events``
+    (python.rs:971-978).
+    """
+    probs = jnp.asarray(probs)
+    num_frames = probs.shape[0]
+    fired, attack, duration, final_active, final_started = jax.tree.map(
+        np.asarray, extract_events_dense(probs)
+    )
+
+    events = []
+    emission_frames, keys = np.nonzero(fired)
+    for ef, k in zip(emission_frames, keys):
+        events.append(
+            (int(attack[ef, k]), int(k), int(duration[ef, k]), FIXED_VELOCITY)
+        )
+    for k in np.nonzero(final_active)[0]:
+        s = int(final_started[k])
+        events.append((s, int(k), max(num_frames - s, 1), FIXED_VELOCITY))
+    events.sort()
+    return events

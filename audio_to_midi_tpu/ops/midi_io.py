@@ -1,0 +1,142 @@
+"""Standard MIDI File writer (no external deps).
+
+Replaces the reference's mido usage (infer.py:46-83): fixed 120 BPM 4/4,
+set_tempo + time_signature meta events, frame->tick conversion, key biased by
++21, velocity scaled from the 10 reference categories to 0..127, delta-time
+sorted note_on/note_off stream.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+from ..config import NUM_VELOCITY_CATEGORIES
+
+TICKS_PER_BEAT = 480  # mido default ticks_per_beat
+DEFAULT_TEMPO_BPM = 120
+DEFAULT_TIME_SIGNATURE = (4, 4)
+
+
+def _var_len(value: int) -> bytes:
+    """MIDI variable-length quantity encoding."""
+    if value < 0:
+        raise ValueError("negative delta time")
+    chunks = [value & 0x7F]
+    value >>= 7
+    while value:
+        chunks.append((value & 0x7F) | 0x80)
+        value >>= 7
+    return bytes(reversed(chunks))
+
+
+def bpm_to_tempo(bpm: float) -> int:
+    """Microseconds per quarter note (mido.bpm2tempo equivalent)."""
+    return int(round(60_000_000 / bpm))
+
+
+def second_to_tick(seconds: float, ticks_per_beat: int, tempo: int) -> int:
+    """mido.second2tick equivalent (rounded to int)."""
+    scale = tempo * 1e-6 / ticks_per_beat
+    return int(round(seconds / scale))
+
+
+def write_midi_file(
+    events: list[tuple[int, int, int, int]],
+    duration_per_frame: float,
+    output_file: str | Path,
+    tempo_bpm: float = DEFAULT_TEMPO_BPM,
+    time_signature: tuple[int, int] = DEFAULT_TIME_SIGNATURE,
+) -> None:
+    """events: (attack_frame, key, duration_frames, velocity-category)."""
+    tempo = bpm_to_tempo(tempo_bpm)
+
+    def frame_to_tick(frame: int) -> int:
+        return second_to_tick(frame * duration_per_frame, TICKS_PER_BEAT, tempo)
+
+    # (tick, type-order, key, velocity); sort matches the reference's tuple
+    # sort over (time, 'note_off' < 'note_on', ...) — string comparison in the
+    # reference means note_off sorts before note_on at equal times.
+    out_of_order = []
+    for attack_frame, key, duration_frames, velocity in events:
+        midi_key = int(key) + 21
+        midi_velocity = int(round((velocity / NUM_VELOCITY_CATEGORIES) * 127))
+        out_of_order.append((frame_to_tick(attack_frame), 1, midi_key, midi_velocity))
+        out_of_order.append(
+            (frame_to_tick(attack_frame + duration_frames), 0, midi_key, midi_velocity)
+        )
+
+    track = bytearray()
+    # Meta: set_tempo (delta 0)
+    track += _var_len(0) + bytes([0xFF, 0x51, 0x03]) + tempo.to_bytes(3, "big")
+    # Meta: time_signature (delta 0): numerator, log2(denominator),
+    # clocks_per_click=24, notated_32nd_notes_per_beat=8
+    num, den = time_signature
+    den_pow = den.bit_length() - 1
+    track += _var_len(0) + bytes([0xFF, 0x58, 0x04, num, den_pow, 24, 8])
+
+    current = 0
+    for tick, is_on, key, velocity in sorted(out_of_order):
+        delta = tick - current
+        status = 0x90 if is_on else 0x80
+        track += _var_len(delta) + bytes([status, key & 0x7F, velocity & 0x7F])
+        current = tick
+    # End of track
+    track += _var_len(0) + bytes([0xFF, 0x2F, 0x00])
+
+    header = struct.pack(">4sIHHH", b"MThd", 6, 1, 1, TICKS_PER_BEAT)
+    chunk = struct.pack(">4sI", b"MTrk", len(track)) + bytes(track)
+    Path(output_file).write_bytes(header + chunk)
+
+
+def read_midi_file(path: str | Path) -> list[tuple[int, str, int, int]]:
+    """Minimal SMF reader returning (tick, type, key, velocity) — used by
+    tests to round-trip :func:`write_midi_file` output."""
+    data = Path(path).read_bytes()
+    assert data[:4] == b"MThd"
+    ntracks = struct.unpack(">H", data[10:12])[0]
+    pos = 8 + struct.unpack(">I", data[4:8])[0]
+    events = []
+    for _ in range(ntracks):
+        assert data[pos : pos + 4] == b"MTrk"
+        length = struct.unpack(">I", data[pos + 4 : pos + 8])[0]
+        end = pos + 8 + length
+        pos += 8
+        tick = 0
+        running = None
+        while pos < end:
+            delta = 0
+            while True:
+                b = data[pos]
+                pos += 1
+                delta = (delta << 7) | (b & 0x7F)
+                if not (b & 0x80):
+                    break
+            tick += delta
+            status = data[pos]
+            if status & 0x80:
+                pos += 1
+                running = status
+            else:
+                status = running
+            if status == 0xFF:
+                meta_type = data[pos]
+                pos += 1
+                mlen = 0
+                while True:
+                    b = data[pos]
+                    pos += 1
+                    mlen = (mlen << 7) | (b & 0x7F)
+                    if not (b & 0x80):
+                        break
+                payload = data[pos : pos + mlen]
+                pos += mlen
+                events.append((tick, f"meta_{meta_type:02x}", 0, 0))
+            elif status & 0xF0 in (0x80, 0x90):
+                key, vel = data[pos], data[pos + 1]
+                pos += 2
+                kind = "note_on" if (status & 0xF0) == 0x90 and vel > 0 else "note_off"
+                events.append((tick, kind, key, vel))
+            else:
+                raise ValueError(f"unhandled MIDI status {status:#x}")
+    return events

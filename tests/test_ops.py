@@ -1,0 +1,91 @@
+"""Golden tests: vectorized on-device ops vs sequential reference-semantics
+ports (tests/golden.py) and the numpy rasterizer."""
+
+import numpy as np
+import pytest
+
+from audio_to_midi_tpu.ops import eventize, rasterize, stitch
+from tests.golden import golden_extract_events, golden_stitch_probs
+
+
+def _make_probs(seed, num_frames=120, num_keys=12, smooth=True):
+    rng = np.random.default_rng(seed)
+    p = rng.random((num_frames, num_keys)).astype(np.float32)
+    if smooth:
+        # Piano-roll-like: sparse notes with decaying envelopes + noise
+        p = p * 0.15
+        for _ in range(30):
+            f = rng.integers(0, num_frames - 1)
+            k = rng.integers(0, num_keys)
+            dur = rng.integers(3, 25)
+            env = np.maximum(np.exp(-0.05 * np.arange(dur)), 0.6)
+            hi = min(num_frames, f + dur)
+            p[f:hi, k] = np.maximum(p[f:hi, k], env[: hi - f])
+    return np.clip(p, 0.0, 1.0)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("smooth", [True, False])
+def test_extract_events_matches_golden(seed, smooth):
+    probs = _make_probs(seed, smooth=smooth)
+    ours = eventize.extract_events(probs)
+    golden = golden_extract_events(probs)
+    assert ours == golden
+
+
+def test_extract_events_trailing_note_closed():
+    probs = np.zeros((20, 3), np.float32)
+    probs[10:, 1] = 0.9  # active until the end
+    events = eventize.extract_events(probs)
+    assert events == [(10, 1, 10, 7)]
+
+
+def test_extract_events_simple_release():
+    probs = np.zeros((30, 2), np.float32)
+    probs[5:15, 0] = 0.8
+    events = eventize.extract_events(probs)
+    assert events == [(5, 0, 10, 7)]
+
+
+@pytest.mark.parametrize("overlap,dpf", [(0.5, 0.02), (0.25, 0.02), (1.0, 0.03)])
+def test_stitch_matches_golden(overlap, dpf):
+    rng = np.random.default_rng(42)
+    all_probs = rng.random((4, 250, 8)).astype(np.float32)
+    ours = np.asarray(stitch.stitch_probs(all_probs, overlap, dpf))
+    golden = golden_stitch_probs(all_probs, overlap, dpf)
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, rtol=1e-5, atol=1e-6)
+
+
+def test_stitch_zero_overlap_is_concat():
+    rng = np.random.default_rng(0)
+    all_probs = rng.random((3, 10, 4)).astype(np.float32)
+    out = np.asarray(stitch.stitch_probs(all_probs, 0.0, 0.02))
+    np.testing.assert_allclose(out, all_probs.reshape(30, 4))
+
+
+@pytest.mark.parametrize("seed", [0, 5, 9])
+def test_rasterize_dense_matches_numpy_port(seed):
+    probs = _make_probs(seed)
+    dense = eventize.extract_events_dense(probs)
+    ours = np.asarray(rasterize.rasterize_dense(*dense))
+    events = eventize.extract_events(probs)
+    golden = rasterize.rasterize_events_np(
+        events, probs.shape[0], 0, probs.shape[0], num_keys=probs.shape[1]
+    )
+    # exp() differs in the last f32 ulps between backends; semantics identical.
+    np.testing.assert_allclose(ours, golden, rtol=1e-5, atol=1e-5)
+
+
+def test_rasterize_np_separator_and_decay():
+    # attack at 5 lasting 10 frames; separator zeroes frame 4; decay curve.
+    events = [(5, 2, 10, 7)]
+    out = rasterize.rasterize_events_np(events, 20, num_keys=4)
+    assert out[4, 2] == 0.0
+    np.testing.assert_allclose(out[5, 2], 1.0)
+    np.testing.assert_allclose(out[6, 2], np.exp(-0.05))
+    np.testing.assert_allclose(out[14, 2], max(np.exp(-0.05 * 9), 0.6))
+    assert out[15, 2] == 0.0
+    # clipped by backing frames
+    out2 = rasterize.rasterize_events_np(events, 20, 0, backing_frames=8, num_keys=4)
+    assert out2[7, 2] > 0 and out2[8, 2] == 0.0
