@@ -1,0 +1,27 @@
+from . import audio_io, augment, labels, loader, synthetic
+from .loader import (
+    ThreadedBatchLoader,
+    create_dataset_loader,
+    load_and_slice_full_audio,
+    load_events_and_audio,
+    load_events_and_audio_with_transformations,
+    load_full_audio,
+    load_sample_names,
+    load_samples,
+)
+
+__all__ = [
+    "audio_io",
+    "augment",
+    "labels",
+    "loader",
+    "synthetic",
+    "ThreadedBatchLoader",
+    "create_dataset_loader",
+    "load_and_slice_full_audio",
+    "load_events_and_audio",
+    "load_events_and_audio_with_transformations",
+    "load_full_audio",
+    "load_sample_names",
+    "load_samples",
+]

@@ -1,0 +1,167 @@
+"""Data layer tests: audio round-trips, CSV parsing, windowing, augmentations,
+loaders over a synthetic dataset."""
+
+import numpy as np
+import pytest
+
+from audio_to_midi_tpu.config import (
+    MODEL_AUDIO_LENGTH,
+    SAMPLE_RATE,
+    TransformSettings,
+)
+from audio_to_midi_tpu.data import audio_io, labels, loader, synthetic
+from audio_to_midi_tpu.ops import midi_io
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dataset")
+    names = synthetic.make_synthetic_dataset(d, num_samples=3, duration_s=6.0, seed=1)
+    return d, names
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = (rng.random((2, 1000), dtype=np.float32) - 0.5) * 0.9
+    audio_io.write_wav(tmp_path / "x.wav", x, SAMPLE_RATE)
+    y = audio_io.decode_audio(tmp_path / "x.wav", SAMPLE_RATE)
+    assert y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=1.5 / 32768)
+
+
+def test_decode_resamples(tmp_path):
+    t = np.arange(8000) / 8000.0
+    x = np.stack([np.sin(2 * np.pi * 440 * t)] * 2).astype(np.float32) * 0.5
+    audio_io.write_wav(tmp_path / "x.wav", x, 8000)
+    y = audio_io.decode_audio(tmp_path / "x.wav", 16000)
+    assert abs(y.shape[1] - 16000) < 20
+
+
+def test_normalize_loudness_matches_reference_semantics():
+    x = np.zeros((2, 100), np.float32)
+    x[0, 0] = 0.04  # below the 0.05 silence guard
+    np.testing.assert_array_equal(audio_io.normalize_loudness_np(x), x)
+    y = np.ones((2, 100), np.float32) * 0.5
+    out = audio_io.normalize_loudness_np(y)
+    np.testing.assert_allclose(np.mean(out**2), 1.0, rtol=1e-5)
+
+
+def test_csv_parse_quantization(tmp_path):
+    p = tmp_path / "l.csv"
+    p.write_text(
+        "% comment line\n"
+        "0.0,0.0,21,0.0\n"        # first data row: skipped (reference quirk)
+        "1.0, 0.5, 60, 0.73\n"
+        "2.005, 0.001, 21, 1.0\n"
+    )
+    events = labels.parse_events_csv(p, duration_per_frame=0.02)
+    assert events == [(50, 39, 25, 7), (100, 0, 1, 10)]
+
+
+def test_load_sample_names_enforces_pairing(tmp_path, dataset):
+    d, names = dataset
+    assert loader.load_sample_names(d) == sorted(names)
+    (tmp_path / "orphan.csv").write_text("a,b,c,d\n")
+    with pytest.raises(ValueError):
+        loader.load_sample_names(tmp_path)
+
+
+def test_load_events_and_audio_windows(dataset):
+    d, names = dataset
+    audio, events, out_names = loader.load_events_and_audio(
+        d, [names[0]], SAMPLE_RATE, MODEL_AUDIO_LENGTH, 250
+    )
+    # 6 s sample -> split 0 full (5 s), split 1 only 1 s -> dropped (<50%)
+    assert out_names == [f"{names[0]}+0"]
+    assert audio[0].shape == (2, 80000)
+    assert events[0].shape == (250, 90)
+    assert events[0].max() > 0  # labels rendered
+
+
+def test_window_drop_rule(tmp_path):
+    # 8 s -> splits of 5 s and 3 s: both kept (3 s > 2.5 s)
+    events = synthetic.random_events(8.0, 5, seed=3)
+    audio = synthetic.synth_performance(events, 8.0)
+    audio_io.write_wav(tmp_path / "s.wav", audio, SAMPLE_RATE)
+    labels.write_events_csv(tmp_path / "s.csv", events)
+    a, e, n = loader.load_events_and_audio(
+        tmp_path, ["s"], SAMPLE_RATE, MODEL_AUDIO_LENGTH, 250
+    )
+    assert n == ["s+0", "s+1"]
+
+
+def test_sample_cache(tmp_path, dataset, monkeypatch):
+    d, names = dataset
+    monkeypatch.setenv("SAMPLE_CACHE_DIR", str(tmp_path / "cache"))
+    f = loader.resolve_audio_file(d / names[0])
+    a1 = loader.load_audio_sample(f, SAMPLE_RATE)
+    cached = list((tmp_path / "cache").rglob("*.npy"))
+    assert len(cached) == 1
+    a2 = loader.load_audio_sample(f, SAMPLE_RATE)
+    np.testing.assert_array_equal(a1, a2)
+    # corrupt entry self-heals
+    cached[0].write_bytes(b"garbage")
+    a3 = loader.load_audio_sample(f, SAMPLE_RATE)
+    np.testing.assert_array_equal(a1, a3)
+
+
+def test_augmentations_shapes_and_determinism():
+    rng = np.random.default_rng(7)
+    audio = rng.standard_normal((8, 2, 1000)).astype(np.float32)
+    lab = rng.random((8, 50, 90)).astype(np.float32)
+    a2, l2 = audio.copy(), lab.copy()
+    settings = TransformSettings()
+    from audio_to_midi_tpu.data import augment
+
+    augment.transform_for_training(a2, l2, settings, np.random.default_rng(0))
+    assert a2.shape == audio.shape and l2.shape == lab.shape
+    assert not np.array_equal(a2, audio)
+    # label smoothing clamps
+    assert l2.min() >= settings.label_smoothing_alpha - 1e-7
+    assert l2.max() <= 1 - settings.label_smoothing_alpha + 1e-7
+    # deterministic under the same rng seed
+    a3, l3 = audio.copy(), lab.copy()
+    augment.transform_for_training(a3, l3, settings, np.random.default_rng(0))
+    np.testing.assert_array_equal(a2, a3)
+
+
+def test_threaded_loader(dataset):
+    d, names = dataset
+    with loader.ThreadedBatchLoader(
+        d, batch_size=2, num_model_output_frames=250, epochs=4
+    ) as ldr:
+        events, audio = next(iter(ldr))
+    assert audio.shape == (2, 2, 80000)
+    assert events.shape == (2, 250, 90)
+    assert audio.dtype == np.float16
+
+
+def test_grain_loader(dataset):
+    d, names = dataset
+    it = loader.create_dataset_loader(
+        d, batch_size=2, num_workers=0, num_epochs=2, output_divisions=250
+    )
+    events, audio = next(it)
+    assert audio.shape == (2, 2, 80000)
+    assert events.shape == (2, 250, 90)
+
+
+def test_slice_full_audio(dataset):
+    d, names = dataset
+    f = loader.resolve_audio_file(d / names[0])
+    windows, dur = loader.load_and_slice_full_audio(f, overlap=0.5)
+    assert dur == MODEL_AUDIO_LENGTH
+    assert windows.shape[1:] == (2, 80000)
+    assert windows.shape[0] == 2  # 6 s with 4.5 s step -> 2 windows
+
+
+def test_midi_write_read_roundtrip(tmp_path):
+    events = [(0, 39, 25, 7), (50, 45, 10, 7)]
+    out = tmp_path / "x.mid"
+    midi_io.write_midi_file(events, 0.02, out)
+    msgs = midi_io.read_midi_file(out)
+    notes = [(t, k, kind) for t, kind, k, v in msgs if kind.startswith("note")]
+    # key biased +21, tempo 120 -> 1 beat = 0.5 s = 480 ticks; frame = 0.02 s
+    assert (0, 60, "note_on") in notes
+    assert (480, 60, "note_off") in notes  # 25 frames * 0.02 s = 0.5 s
+    assert (960, 66, "note_on") in notes  # frame 50 * 0.02 s = 1 s = 960 ticks
