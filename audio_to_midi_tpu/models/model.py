@@ -94,6 +94,14 @@ def predict(
     return logits[0], probs[0]
 
 
+def init_ensemble(key: jax.Array, cfg: ModelConfig, ensemble_size: int) -> tuple[Params, State]:
+    """Population init: every leaf gains a leading (E,) axis (reference
+    train.py:788-795 filter_vmap make_ensemble)."""
+    keys = jax.random.split(key, ensemble_size)
+    params = jax.vmap(lambda k: init(k, cfg)[0])(keys)
+    return params, {}
+
+
 def param_count(params: Params) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
 

@@ -1,0 +1,172 @@
+"""The training loop: loss-scaling state machine, NaN rollback, checkpoints,
+tensorboard metrics, test-set eval, ensemble evolution.
+
+Reference semantics (train.py:211-452):
+  * host snapshot of (params, opt_state) every ``recovery_snapshot_every``
+    steps; on non-finite grads/loss -> halve the grad scale and roll back;
+  * double the grad scale whenever the scaled loss drops below 10k;
+  * orbax save on ``should_save``; train/loss (min over ensemble) and LR
+    scalars every ``print_every``; per-testset loss/hit-rate/eventized-diff +
+    figures every ``testset_loss_every``; genetic recombination after eval.
+
+With the bf16 policy (TPU default) the grad scale is pinned at 1.0 — the
+machinery stays wired for the f16 parity policy.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.rope import RopeFreqs
+from ..parallel.mesh import make_mesh, shard_params
+from . import checkpoint as ckpt
+from .ensemble import evolve_model_ensemble
+from .evaluate import compute_testset_loss
+from .step import make_train_step, reshape_to_minibatches
+
+log = logging.getLogger(__name__)
+
+
+def _copy_to_host(tree):
+    return jax.tree.map(lambda x: np.array(x), tree)
+
+
+def train(
+    cfg: Config,
+    params,
+    state,
+    tx,
+    opt_state,
+    data_loader: Iterable,
+    checkpoint_manager,
+    learning_rate_schedule: Callable,
+    rope: RopeFreqs,
+    num_model_output_frames: int,
+    testset_dirs: Optional[dict[str, Path]] = None,
+    summary_writer=None,
+    mesh=None,
+    num_steps: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    step_hook: Optional[Callable[[int, dict[str, Any]], None]] = None,
+):
+    """Run the training loop.  ``params``/``opt_state`` carry a leading
+    ensemble axis.  Returns (params, state, opt_state)."""
+    testset_dirs = testset_dirs or {}
+    num_steps = num_steps or cfg.train.num_steps
+    key = key if key is not None else jax.random.PRNGKey(cfg.train.seed)
+    if mesh is None:
+        mesh = make_mesh(cfg.train.ensemble_size)
+
+    train_step = make_train_step(cfg, tx, rope, mesh=mesh, ensemble=True)
+
+    start_step = (
+        checkpoint_manager.latest_step() + 1
+        if checkpoint_manager is not None and checkpoint_manager.latest_step() is not None
+        else 1
+    )
+
+    minibatch = cfg.train.minibatch_size_per_device * max(
+        1, mesh.shape["data"] if mesh is not None else 1
+    )
+
+    grad_scale = 1.0
+    use_loss_scaling = cfg.precision.needs_loss_scaling
+    recovery = (_copy_to_host(params), _copy_to_host(opt_state))
+    loss_sum = np.zeros((cfg.train.ensemble_size,), np.float64)
+    loss_count = 0
+    t_start = time.time()
+    step = start_step - 1
+
+    for step, batch in zip(range(start_step, num_steps + 1), data_loader):
+        events, audio = batch
+        key, step_key = jax.random.split(key)
+
+        if use_loss_scaling and step % cfg.train.recovery_snapshot_every == 0:
+            recovery = (_copy_to_host(params), _copy_to_host(opt_state))
+
+        audio_mb = reshape_to_minibatches(jnp.asarray(audio), minibatch)
+        events_mb = reshape_to_minibatches(jnp.asarray(events), minibatch)
+
+        out = train_step(
+            params, opt_state, audio_mb, events_mb, step_key,
+            jnp.asarray(grad_scale, cfg.precision.compute_dtype),
+        )
+        loss, params, opt_state = out.loss, out.params, out.opt_state
+
+        if use_loss_scaling:
+            grads_valid = np.all(np.asarray(out.grads_valid))
+            loss_host = np.asarray(loss)
+            if not grads_valid or not np.all(np.isfinite(loss_host)):
+                new_scale = grad_scale / 2
+                log.warning(
+                    "Non-finite grads/loss at step %d; rolling back, grad scale %s -> %s",
+                    step, grad_scale, new_scale,
+                )
+                grad_scale = new_scale
+                params = shard_params(recovery[0], mesh)
+                opt_state = shard_params(recovery[1], mesh)
+                continue
+            if np.all(np.asarray(out.scaled_loss) < cfg.train.loss_scale_increase_threshold):
+                grad_scale = grad_scale * 2
+
+        if checkpoint_manager is not None:
+            ckpt.save_checkpoint(checkpoint_manager, step, params, state)
+
+        loss_sum = loss_sum + np.asarray(loss, np.float64)
+        loss_count += 1
+
+        if step % cfg.train.print_every == 0:
+            averaged = loss_sum / max(loss_count, 1)
+            lr = float(learning_rate_schedule(step))
+            steps_per_s = loss_count / max(time.time() - t_start, 1e-9)
+            log.info(
+                "step %d/%d loss=%s lr=%.3g steps/s=%.2f",
+                step, num_steps, averaged, lr, steps_per_s,
+            )
+            if summary_writer is not None:
+                summary_writer.add_scalar("train/loss", float(np.min(averaged)), step)
+                summary_writer.add_scalar("train/learning_rate", lr, step)
+                summary_writer.add_scalar("train/steps_per_sec", steps_per_s, step)
+                summary_writer.flush()
+            if step_hook is not None:
+                step_hook(step, {"loss": averaged, "lr": lr, "steps_per_s": steps_per_s})
+            loss_sum = np.zeros_like(loss_sum)
+            loss_count = 0
+            t_start = time.time()
+
+        if testset_dirs and step % cfg.train.testset_loss_every == 0:
+            testset_losses = []
+            for name, testset_dir in testset_dirs.items():
+                test_loss, hit_rate, eventized_diff, figs = compute_testset_loss(
+                    params, cfg, testset_dir, num_model_output_frames, rope
+                )
+                log.info(
+                    "testset %s: loss=%s hit_rate=%s eventized_diff=%s",
+                    name, test_loss, hit_rate, eventized_diff,
+                )
+                testset_losses.append(test_loss)
+                if summary_writer is not None:
+                    summary_writer.add_scalar(
+                        f"train/test-loss-{name}", float(test_loss[0]), step
+                    )
+                    for i, fig in enumerate(figs):
+                        summary_writer.add_figure(f"train/test-loss-{name}-{i}", fig, step)
+            if summary_writer is not None:
+                summary_writer.flush()
+
+            if cfg.train.ensemble_size > 2:
+                scores = np.mean(np.stack(testset_losses), axis=0)
+                rng = np.random.default_rng(int(jax.random.bits(key)))
+                key, _ = jax.random.split(key)
+                evolved = evolve_model_ensemble(params, scores, rng)
+                params = shard_params(evolved, mesh)
+
+    return params, state, opt_state

@@ -1,0 +1,105 @@
+"""Optimizer: AdamW with CNN layer-wise learning-rate decay.
+
+Reference semantics (train.py:454-466, 646-729):
+  * warmup(linear, 1000) + cosine decay schedule;
+  * AdamW b1=.9 b2=.999 eps=1e-3 (eps intentionally large — preserved),
+    weight_decay=0.005;
+  * CNN parameters get LR scaled by ``layer_lr_decay ** (max_depth - depth)``
+    where depth counts the stem/downsample as depth ``prefix`` and block j as
+    ``prefix + j + 1`` (prefix = sum of earlier stage depths) — routed with
+    ``optax.multi_transform`` over labels derived from the pytree paths;
+  * chained global-norm clip 1.0.
+"""
+
+from __future__ import annotations
+
+import jax
+import optax
+
+from ..config import ModelConfig, TrainConfig
+
+
+def create_learning_rate_schedule(
+    base_learning_rate: float, warmup_steps: int, cosine_decay_steps: int
+):
+    return optax.join_schedules(
+        schedules=[
+            optax.linear_schedule(0.0, base_learning_rate, warmup_steps),
+            optax.cosine_decay_schedule(base_learning_rate, cosine_decay_steps),
+        ],
+        boundaries=[warmup_steps],
+    )
+
+
+def _path_label(path, model_cfg: ModelConfig) -> str:
+    """Map a param pytree path to its LR-decay label.
+
+    Our pytree: params["cnn"]["stages"][i]["down"|"blocks"][j][...].
+    Depth = sum(depths[:i]) for the stage's down/stem, + j + 1 for block j —
+    matching the reference's Sequential indices (train.py:649-670: the
+    downsample is element 0 of each Sequential, blocks are 1..depth).
+    """
+    keys = []
+    for p in path:
+        if isinstance(p, jax.tree_util.DictKey):
+            keys.append(p.key)
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            keys.append(p.idx)
+        else:
+            keys.append(str(p))
+    if len(keys) >= 2 and keys[0] == "cnn" and keys[1] == "stages":
+        stage = keys[2]
+        prefix = sum(model_cfg.depths[:stage])
+        if keys[3] == "down":
+            depth = prefix
+        else:  # blocks / j
+            depth = prefix + keys[4] + 1
+        return f"conv_layer|{depth}"
+    return "default|0"
+
+
+def max_conv_depth(model_cfg: ModelConfig) -> int:
+    return sum(model_cfg.depths)  # deepest block label == sum(depths)
+
+
+def setup_optimizers(
+    params,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: _path_label(path, model_cfg), params
+    )
+    label_set = set(jax.tree.leaves(labels))
+
+    depth_of = lambda lbl: int(lbl.split("|")[1])
+    max_depth = max(
+        (depth_of(l) for l in label_set if l.startswith("conv_layer")), default=0
+    )
+
+    def adamw(lr: float):
+        return optax.adamw(
+            create_learning_rate_schedule(
+                lr, train_cfg.warmup_steps, train_cfg.num_steps
+            ),
+            b1=train_cfg.adam_b1,
+            b2=train_cfg.adam_b2,
+            eps=train_cfg.adam_eps,
+            weight_decay=train_cfg.weight_decay,
+        )
+
+    transforms = {"default|0": adamw(train_cfg.base_learning_rate)}
+    for lbl in label_set:
+        if lbl.startswith("conv_layer"):
+            depth = depth_of(lbl)
+            transforms[lbl] = adamw(
+                train_cfg.base_learning_rate
+                * train_cfg.layer_lr_decay ** (max_depth - depth)
+            )
+
+    tx = optax.multi_transform(transforms, labels)
+    tx = optax.chain(tx, optax.clip_by_global_norm(train_cfg.global_norm_clip))
+    schedule = create_learning_rate_schedule(
+        train_cfg.base_learning_rate, train_cfg.warmup_steps, train_cfg.num_steps
+    )
+    return tx, schedule

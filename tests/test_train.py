@@ -1,0 +1,198 @@
+"""Training runtime tests on an 8-device virtual CPU mesh: sharded train
+step, loss decrease, optimizer label routing, loss-scaling rollback wiring,
+checkpointing, ensemble evolution."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_to_midi_tpu.config import Config, ModelConfig, PrecisionConfig, TrainConfig
+from audio_to_midi_tpu.models import model as model_lib
+from audio_to_midi_tpu.parallel import make_mesh, shard_params, batch_spec
+from audio_to_midi_tpu.train import (
+    checkpoint as ckpt,
+    evolve_model_ensemble,
+    make_train_step,
+    optim,
+    reshape_to_minibatches,
+    setup_optimizers,
+)
+
+SMALL_MODEL = ModelConfig(
+    dims=(4, 8),
+    depths=(1, 1),
+    num_transformer_layers=1,
+    num_transformer_heads=2,
+    attention_size=8,
+    compressed_attention_kv_size=8,
+    compressed_attention_q_size=8,
+)
+
+
+def small_config(**train_kwargs) -> Config:
+    train = TrainConfig(
+        batch_size=8, minibatch_size_per_device=1, num_steps=50, warmup_steps=5,
+        **train_kwargs,
+    )
+    return Config(
+        model=SMALL_MODEL,
+        train=train,
+        precision=PrecisionConfig(compute_dtype=jnp.float32),
+    )
+
+
+def _data(b=8, n=200, f=20, seed=0):  # n=200 -> stem/5, /2 -> 20 frames
+    rng = np.random.default_rng(seed)
+    audio = rng.standard_normal((b, 2, n)).astype(np.float32)
+    labels = (rng.random((b, f, 90)) > 0.9).astype(np.float32)
+    return audio, labels
+
+
+def test_train_step_runs_sharded_and_loss_decreases():
+    assert len(jax.devices()) == 8
+    cfg = small_config()
+    mesh = make_mesh(1)
+    rope = model_lib.make_rope(cfg.model)
+    params, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
+    params = shard_params(params, mesh)
+    tx, _ = setup_optimizers(params, cfg.model, cfg.train)
+    opt_state = jax.vmap(tx.init)(params)
+
+    step = make_train_step(cfg, tx, rope, mesh=mesh, ensemble=True)
+    audio, labels = _data()
+    audio_mb = jax.device_put(
+        reshape_to_minibatches(jnp.asarray(audio), 8), batch_spec(mesh, 1)
+    )
+    labels_mb = jax.device_put(
+        reshape_to_minibatches(jnp.asarray(labels), 8), batch_spec(mesh, 1)
+    )
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    scale = jnp.asarray(1.0, jnp.float32)
+    for i in range(12):
+        key, k = jax.random.split(key)
+        out = step(params, opt_state, audio_mb, labels_mb, k, scale)
+        params, opt_state = out.params, out.opt_state
+        assert bool(out.grads_valid[0])
+        losses.append(float(out.loss[0]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses  # overfits a fixed batch
+
+
+def test_grad_accumulation_consistency():
+    """2 minibatches of 4 should match 1 minibatch of 8 with dropout off."""
+    cfg = dataclasses.replace(
+        small_config(),
+        model=dataclasses.replace(SMALL_MODEL, transformer_dropout_rate=0.0),
+    )
+    rope = model_lib.make_rope(cfg.model)
+    params, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
+    tx, _ = setup_optimizers(params, cfg.model, cfg.train)
+    opt_state = jax.vmap(tx.init)(params)
+    step = make_train_step(cfg, tx, rope, mesh=None, ensemble=True)
+
+    audio, labels = _data()
+    key = jax.random.PRNGKey(2)
+    scale = jnp.asarray(1.0, jnp.float32)
+
+    out_a = step(
+        params, opt_state,
+        reshape_to_minibatches(jnp.asarray(audio), 4),
+        reshape_to_minibatches(jnp.asarray(labels), 4),
+        key, scale,
+    )
+    params2, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
+    opt_state2 = jax.vmap(tx.init)(params2)
+    out_b = step(
+        params2, opt_state2,
+        reshape_to_minibatches(jnp.asarray(audio), 8),
+        reshape_to_minibatches(jnp.asarray(labels), 8),
+        key, scale,
+    )
+    np.testing.assert_allclose(
+        float(out_a.loss[0]), float(out_b.loss[0]), rtol=1e-5
+    )
+    a_leaves = jax.tree.leaves(out_a.params)
+    b_leaves = jax.tree.leaves(out_b.params)
+    for a, b in zip(a_leaves, b_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_nan_grads_detected():
+    cfg = small_config()
+    rope = model_lib.make_rope(cfg.model)
+    params, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
+    tx, _ = setup_optimizers(params, cfg.model, cfg.train)
+    opt_state = jax.vmap(tx.init)(params)
+    step = make_train_step(cfg, tx, rope, mesh=None, ensemble=True)
+    audio, labels = _data()
+    audio[0, 0, 0] = np.nan
+    out = step(
+        params, opt_state,
+        reshape_to_minibatches(jnp.asarray(audio), 8),
+        reshape_to_minibatches(jnp.asarray(labels), 8),
+        jax.random.PRNGKey(0), jnp.asarray(1.0, jnp.float32),
+    )
+    assert not bool(out.grads_valid[0])
+
+
+def test_optimizer_depth_labels():
+    cfg = ModelConfig()  # full 7-stage config
+    params, _ = model_lib.init(jax.random.PRNGKey(0), cfg)
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, _: optim._path_label(p, cfg), params
+    )
+    # stem of stage 0 -> depth 0; block 2 of stage 0 -> depth 3
+    assert labels["cnn"]["stages"][0]["down"]["conv"]["w"] == "conv_layer|0"
+    assert labels["cnn"]["stages"][0]["blocks"][2]["pw1"]["w"] == "conv_layer|3"
+    # stage 6 (prefix 36): down -> 36, block 2 -> 39 == sum(depths)
+    assert labels["cnn"]["stages"][6]["down"]["conv"]["w"] == "conv_layer|36"
+    assert labels["cnn"]["stages"][6]["blocks"][2]["gamma"] == "conv_layer|39"
+    assert labels["transformer"]["local"]["attention"]["q_up"]["w"] == "default|0"
+    assert labels["decoder"]["out"]["w"] == "default|0"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = small_config()
+    params, state = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
+    mgr = ckpt.create_checkpoint_manager(tmp_path / "ckpt", cfg, save_interval_steps=1)
+    assert ckpt.save_checkpoint(mgr, 1, params, state)
+    mgr.wait_until_finished()
+    assert ckpt.check_metadata(mgr, cfg)
+
+    like = jax.tree.map(np.zeros_like, params)
+    restored, rstate, step = ckpt.restore_checkpoint(mgr, like)
+    assert step == 1
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # metadata drift warning
+    import dataclasses as dc
+    other = dc.replace(cfg, model=dc.replace(cfg.model, num_transformer_heads=8))
+    with pytest.warns(UserWarning, match="metadata mismatch"):
+        assert not ckpt.check_metadata(mgr, other)
+
+
+def test_ensemble_evolution():
+    params, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), SMALL_MODEL, 4)
+    host = jax.tree.map(np.asarray, params)
+    scores = np.array([1.0, 3.0, 0.5, 2.0])  # winners: idx 2, 0; losers: 3, 1
+    evolved = evolve_model_ensemble(params, scores, np.random.default_rng(0))
+    for before, after in zip(jax.tree.leaves(host), jax.tree.leaves(evolved)):
+        np.testing.assert_array_equal(before[2], after[2])
+        np.testing.assert_array_equal(before[0], after[0])
+    changed = any(
+        not np.array_equal(b[1], a[1]) or not np.array_equal(b[3], a[3])
+        for b, a in zip(jax.tree.leaves(host), jax.tree.leaves(evolved))
+    )
+    assert changed
+
+
+def test_evolution_skipped_for_small_population():
+    params, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), SMALL_MODEL, 2)
+    out = evolve_model_ensemble(params, np.array([1.0, 2.0]), np.random.default_rng(0))
+    assert out is params
