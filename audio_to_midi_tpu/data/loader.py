@@ -201,12 +201,17 @@ def load_samples(
     return np.stack(events), np.stack(audio), names
 
 
-def load_and_slice_full_audio(filename, overlap: float = 0.25):
+def load_and_slice_full_audio(
+    filename,
+    overlap: float = 0.25,
+    sample_rate: int = SAMPLE_RATE,
+    window_duration: float = MODEL_AUDIO_LENGTH,
+):
     """Inference windowing (audio_to_midi_dataset.py:277-294): overlap in
     seconds; returns ((W, 2, window), window_duration)."""
-    audio = load_full_audio(filename, SAMPLE_RATE)
-    window_size = round(MODEL_AUDIO_LENGTH * SAMPLE_RATE)
-    overlap_samples = round(overlap * SAMPLE_RATE)
+    audio = load_full_audio(filename, sample_rate)
+    window_size = round(window_duration * sample_rate)
+    overlap_samples = round(overlap * sample_rate)
     step = window_size - overlap_samples
     n_windows = max(1, math.ceil((audio.shape[1] - overlap_samples) / step))
     windows = []
@@ -215,7 +220,7 @@ def load_and_slice_full_audio(filename, overlap: float = 0.25):
         if w.shape[1] < window_size:
             w = np.pad(w, ((0, 0), (0, window_size - w.shape[1])))
         windows.append(w)
-    return np.stack(windows), MODEL_AUDIO_LENGTH
+    return np.stack(windows), window_duration
 
 
 class ThreadedBatchLoader:

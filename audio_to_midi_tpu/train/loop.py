@@ -76,6 +76,8 @@ def train(
     minibatch = cfg.train.minibatch_size_per_device * max(
         1, mesh.shape["data"] if mesh is not None else 1
     )
+    # Clamp for tiny batches (tests / debug runs): one accumulation step.
+    minibatch = min(minibatch, cfg.train.batch_size)
 
     grad_scale = 1.0
     use_loss_scaling = cfg.precision.needs_loss_scaling

@@ -1,0 +1,3 @@
+from . import visualize
+
+__all__ = ["visualize"]
