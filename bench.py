@@ -1,0 +1,93 @@
+"""Transcription throughput benchmark.
+
+Measures audio-seconds transcribed per wall second per chip on the flagship
+model: batches of 5 s stereo windows through the fused forward(+stitch)
+program in bfloat16.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio_sec/sec/chip", "vs_baseline": N}
+
+The reference publishes no throughput numbers; the baseline is the driver's
+north star of 100x realtime per chip (BASELINE.md), so vs_baseline =
+value / 100.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from audio_to_midi_tpu.config import DEFAULT_CONFIG
+from audio_to_midi_tpu.models import model as model_lib
+
+BASELINE_AUDIO_SEC_PER_SEC = 100.0  # north-star: 100x realtime per chip
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def bench_forward(batch_size: int = 32, iters: int = 20, warmup: int = 3) -> float:
+    cfg = DEFAULT_CONFIG
+    rope = model_lib.make_rope(cfg.model)
+    key = jax.random.PRNGKey(0)
+    params, _ = model_lib.init(key, cfg.model)
+    params = model_lib.cast_params(params, jnp.bfloat16)
+
+    n = cfg.data.samples_per_window
+    audio = jax.random.normal(jax.random.PRNGKey(1), (batch_size, 2, n), jnp.bfloat16)
+
+    @jax.jit
+    def forward(params, audio):
+        _logits, probs = model_lib.forward(params, cfg.model, audio, rope)
+        return probs
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(forward(params, audio))
+    log(f"compile: {time.perf_counter() - t0:.1f}s")
+
+    for _ in range(warmup):
+        jax.block_until_ready(forward(params, audio))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(params, audio)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    audio_sec = batch_size * cfg.data.model_audio_length * iters
+    throughput = audio_sec / dt
+    log(
+        f"batch={batch_size} iters={iters} wall={dt:.3f}s "
+        f"-> {throughput:.1f} audio_sec/sec/chip ({throughput:.1f}x realtime)"
+    )
+    return throughput
+
+
+def main() -> int:
+    devices = jax.devices()
+    log(f"devices: {devices}")
+
+    best = 0.0
+    for batch_size in (64, 128, 256):
+        try:
+            best = max(best, bench_forward(batch_size))
+        except Exception as e:  # OOM at large batch etc.
+            log(f"batch {batch_size} failed: {e}")
+    print(
+        json.dumps(
+            {
+                "metric": "transcription_throughput",
+                "value": round(best, 2),
+                "unit": "audio_sec/sec/chip",
+                "vs_baseline": round(best / BASELINE_AUDIO_SEC_PER_SEC, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
