@@ -29,9 +29,17 @@ from ..config import (
 from . import augment
 from .audio_io import decode_audio, normalize_loudness_np
 from .labels import parse_events_csv
+from .. import native
 from ..ops.rasterize import rasterize_events_np
 
 AUDIO_EXTENSIONS = (".wav", ".aif", ".aac", ".aiff")
+
+
+def _use_native() -> bool:
+    """The C++ data plane is preferred when built; A2M_DISABLE_NATIVE=1 or an
+    unavailable toolchain falls back to the numpy implementations (identical
+    outputs — tested in tests/test_native.py)."""
+    return native.available()
 
 
 # ---------------------------------------------------------------------------
@@ -84,6 +92,8 @@ def load_audio_sample(
 ) -> np.ndarray:
     """Decode + normalize with f16 on-disk caching.  (2, N) float32."""
     path = str(path)
+    if _use_native() and Path(path).suffix.lower() in (".wav", ".wave", ".aif", ".aiff", ".aifc"):
+        return native.load_audio_sample(path, sample_rate, skip_cache)
     cache = _cache_file(path, sample_rate)
     if cache is not None and cache.exists() and not skip_cache:
         try:
@@ -133,10 +143,14 @@ def load_events_and_audio(
     all_audio: list[np.ndarray] = []
     all_events: list[np.ndarray] = []
     all_names: list[str] = []
+    use_native = _use_native()
     for name in sample_names:
         audio_path = resolve_audio_file(dataset_dir / name)
         audio = load_audio_sample(audio_path, sample_rate, skip_cache)
-        events = parse_events_csv(dataset_dir / f"{name}.csv", dpf)
+        if use_native:
+            events = native.parse_events_csv(dataset_dir / f"{name}.csv", dpf)
+        else:
+            events = parse_events_csv(dataset_dir / f"{name}.csv", dpf)
 
         n = audio.shape[1]
         num_splits = math.ceil(n / samples_per_call)
@@ -149,9 +163,14 @@ def load_events_and_audio(
             )
             if samples_to_copy <= samples_per_call // 2:
                 continue
-            frame_events = rasterize_events_np(
-                events, num_model_outputs, start_frame, backing
-            )
+            if use_native:
+                frame_events = native.rasterize_events(
+                    events, num_model_outputs, start_frame, backing
+                )
+            else:
+                frame_events = rasterize_events_np(
+                    events, num_model_outputs, start_frame, backing
+                )
             window = np.zeros((2, samples_per_call), np.float32)
             window[:, :samples_to_copy] = audio[:, start_sample : start_sample + samples_to_copy]
             all_audio.append(window)
@@ -174,11 +193,16 @@ def load_events_and_audio_with_transformations(
         dataset_dir, sample_names, sample_rate, model_duration, num_model_outputs, skip_cache
     )
     if audio_list:
-        audio = np.stack(audio_list)
-        labels = np.stack(events_list)
+        audio = np.ascontiguousarray(np.stack(audio_list), np.float32)
+        labels = np.ascontiguousarray(np.stack(events_list), np.float32)
         if rng is None:
             rng = np.random.default_rng()
-        augment.transform_for_training(audio, labels, settings, rng)
+        if _use_native():
+            native.transform_for_training(
+                audio, labels, settings, seed=int(rng.integers(0, 2**63 - 1))
+            )
+        else:
+            augment.transform_for_training(audio, labels, settings, rng)
         audio_list = list(audio)
         events_list = list(labels)
     return audio_list, events_list, names

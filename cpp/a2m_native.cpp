@@ -1,0 +1,804 @@
+/* Native host data plane — see a2m_native.h.
+ *
+ * Each section cites the reference file:lines whose behaviour it mirrors
+ * (rust-plugins/src/python.rs, common.rs); the implementation is original
+ * C++ written against the documented semantics.
+ */
+
+#include "a2m_native.h"
+
+#include <algorithm>
+#include <array>
+#include <cctype>
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <filesystem>
+#include <fstream>
+#include <numeric>
+#include <optional>
+#include <random>
+#include <string>
+#include <vector>
+
+namespace fs = std::filesystem;
+
+extern "C" void a2m_free(void *ptr) { std::free(ptr); }
+
+/* ====================================================================== */
+/* f16 <-> f32                                                            */
+/* ====================================================================== */
+
+static uint16_t f32_to_f16(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  uint32_t sign = (x >> 16) & 0x8000u;
+  int32_t exp = (int32_t)((x >> 23) & 0xFF) - 127 + 15;
+  uint32_t mant = x & 0x7FFFFFu;
+  if (((x >> 23) & 0xFF) == 0xFF) return (uint16_t)(sign | 0x7C00u | (mant ? 0x200u : 0));
+  if (exp >= 0x1F) return (uint16_t)(sign | 0x7C00u); /* overflow -> inf */
+  if (exp <= 0) {
+    if (exp < -10) return (uint16_t)sign;
+    mant |= 0x800000u;
+    uint32_t shift = (uint32_t)(14 - exp);
+    uint32_t half = mant >> shift;
+    uint32_t rem = mant & ((1u << shift) - 1);
+    uint32_t mid = 1u << (shift - 1);
+    if (rem > mid || (rem == mid && (half & 1))) half++;
+    return (uint16_t)(sign | half);
+  }
+  uint32_t half = (uint32_t)(exp << 10) | (mant >> 13);
+  uint32_t rem = mant & 0x1FFFu;
+  if (rem > 0x1000u || (rem == 0x1000u && (half & 1))) half++;
+  return (uint16_t)(sign | half);
+}
+
+static float f16_to_f32(uint16_t h) {
+  uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1F;
+  uint32_t mant = h & 0x3FFu;
+  uint32_t x;
+  if (exp == 0) {
+    if (mant == 0) {
+      x = sign;
+    } else {
+      exp = 127 - 15 + 1;
+      while (!(mant & 0x400u)) {
+        mant <<= 1;
+        exp--;
+      }
+      mant &= 0x3FFu;
+      x = sign | (exp << 23) | (mant << 13);
+    }
+  } else if (exp == 0x1F) {
+    x = sign | 0x7F800000u | (mant << 13);
+  } else {
+    x = sign | ((exp - 15 + 127) << 23) | (mant << 13);
+  }
+  float f;
+  std::memcpy(&f, &x, 4);
+  return f;
+}
+
+/* ====================================================================== */
+/* SHA-256 (cache keying, python.rs:282-294)                              */
+/* ====================================================================== */
+
+namespace sha256 {
+static const uint32_t K[64] = {
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2};
+
+static inline uint32_t rotr(uint32_t x, int n) { return (x >> n) | (x << (32 - n)); }
+
+static std::string hex(const std::string &data) {
+  uint32_t h[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+                   0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19};
+  std::vector<uint8_t> msg(data.begin(), data.end());
+  uint64_t bitlen = (uint64_t)msg.size() * 8;
+  msg.push_back(0x80);
+  while (msg.size() % 64 != 56) msg.push_back(0);
+  for (int i = 7; i >= 0; --i) msg.push_back((uint8_t)(bitlen >> (i * 8)));
+
+  for (size_t off = 0; off < msg.size(); off += 64) {
+    uint32_t w[64];
+    for (int i = 0; i < 16; ++i)
+      w[i] = (uint32_t)msg[off + 4 * i] << 24 | (uint32_t)msg[off + 4 * i + 1] << 16 |
+             (uint32_t)msg[off + 4 * i + 2] << 8 | msg[off + 4 * i + 3];
+    for (int i = 16; i < 64; ++i) {
+      uint32_t s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> 3);
+      uint32_t s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> 10);
+      w[i] = w[i - 16] + s0 + w[i - 7] + s1;
+    }
+    uint32_t a = h[0], b = h[1], c = h[2], d = h[3], e = h[4], f = h[5],
+             g = h[6], hh = h[7];
+    for (int i = 0; i < 64; ++i) {
+      uint32_t S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25);
+      uint32_t ch = (e & f) ^ (~e & g);
+      uint32_t t1 = hh + S1 + ch + K[i] + w[i];
+      uint32_t S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22);
+      uint32_t maj = (a & b) ^ (a & c) ^ (b & c);
+      uint32_t t2 = S0 + maj;
+      hh = g; g = f; f = e; e = d + t1; d = c; c = b; b = a; a = t1 + t2;
+    }
+    h[0] += a; h[1] += b; h[2] += c; h[3] += d;
+    h[4] += e; h[5] += f; h[6] += g; h[7] += hh;
+  }
+  char out[65];
+  for (int i = 0; i < 8; ++i) std::snprintf(out + i * 8, 9, "%08x", h[i]);
+  return std::string(out, 64);
+}
+}  // namespace sha256
+
+/* ====================================================================== */
+/* Audio decode: WAV + AIFF (PCM), matching data/audio_io.py               */
+/* ====================================================================== */
+
+struct Decoded {
+  std::vector<float> left, right;
+  int rate = 0;
+};
+
+static bool read_file(const char *path, std::vector<uint8_t> &out) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return false;
+  f.seekg(0, std::ios::end);
+  out.resize((size_t)f.tellg());
+  f.seekg(0);
+  f.read((char *)out.data(), (std::streamsize)out.size());
+  return (bool)f;
+}
+
+static uint32_t rd_u32le(const uint8_t *p) {
+  return (uint32_t)p[0] | (uint32_t)p[1] << 8 | (uint32_t)p[2] << 16 | (uint32_t)p[3] << 24;
+}
+static uint32_t rd_u32be(const uint8_t *p) {
+  return (uint32_t)p[3] | (uint32_t)p[2] << 8 | (uint32_t)p[1] << 16 | (uint32_t)p[0] << 24;
+}
+static uint16_t rd_u16le(const uint8_t *p) { return (uint16_t)(p[0] | p[1] << 8); }
+static uint16_t rd_u16be(const uint8_t *p) { return (uint16_t)(p[1] | p[0] << 8); }
+
+static int decode_pcm(const uint8_t *p, size_t n, int bits, bool little,
+                      bool is_float, int channels, Decoded &d) {
+  auto push = [&](float v, size_t frame_idx, int ch) {
+    (ch == 0 ? d.left : d.right)[frame_idx] = v;
+  };
+  size_t bytes_per = (size_t)bits / 8;
+  size_t frames = n / (bytes_per * (size_t)channels);
+  d.left.assign(frames, 0.0f);
+  d.right.assign(frames, 0.0f);
+  for (size_t i = 0; i < frames; ++i) {
+    for (int c = 0; c < channels; ++c) {
+      const uint8_t *s = p + (i * (size_t)channels + (size_t)c) * bytes_per;
+      float v = 0.0f;
+      if (is_float && bits == 32) {
+        uint32_t u = little ? rd_u32le(s) : rd_u32be(s);
+        std::memcpy(&v, &u, 4);
+      } else if (bits == 16) {
+        int16_t x = (int16_t)(little ? rd_u16le(s) : rd_u16be(s));
+        v = (float)x / 32768.0f;
+      } else if (bits == 24) {
+        int32_t x = little ? (s[0] | s[1] << 8 | s[2] << 16)
+                           : (s[2] | s[1] << 8 | s[0] << 16);
+        if (x & 0x800000) x -= 0x1000000;
+        v = (float)x / 8388608.0f;
+      } else if (bits == 32) {
+        int32_t x = (int32_t)(little ? rd_u32le(s) : rd_u32be(s));
+        v = (float)((double)x / 2147483648.0);
+      } else if (bits == 8) {
+        v = little ? ((float)s[0] - 128.0f) / 128.0f   /* WAV: unsigned */
+                   : (float)(int8_t)s[0] / 128.0f;     /* AIFF: signed */
+      } else {
+        return -2;
+      }
+      int ch = channels == 1 ? 0 : (c < 2 ? c : -1);
+      if (ch >= 0) push(v, i, ch);
+    }
+    if (channels == 1) d.right[i] = d.left[i];
+  }
+  return 0;
+}
+
+static int decode_wav(const std::vector<uint8_t> &b, Decoded &d) {
+  if (b.size() < 12 || std::memcmp(b.data(), "RIFF", 4) ||
+      std::memcmp(b.data() + 8, "WAVE", 4))
+    return -2;
+  size_t pos = 12;
+  int fmt = -1, channels = 0, bits = 0;
+  const uint8_t *data = nullptr;
+  size_t data_len = 0;
+  while (pos + 8 <= b.size()) {
+    uint32_t size = rd_u32le(b.data() + pos + 4);
+    const uint8_t *body = b.data() + pos + 8;
+    size_t avail = std::min((size_t)size, b.size() - pos - 8);
+    if (!std::memcmp(b.data() + pos, "fmt ", 4) && avail >= 16) {
+      fmt = rd_u16le(body);
+      channels = rd_u16le(body + 2);
+      d.rate = (int)rd_u32le(body + 4);
+      bits = rd_u16le(body + 14);
+      if (fmt == 0xFFFE && avail >= 26) fmt = rd_u16le(body + 24);
+    } else if (!std::memcmp(b.data() + pos, "data", 4)) {
+      data = body;
+      data_len = avail;
+    }
+    pos += 8 + size + (size & 1);
+  }
+  if (fmt < 0 || !data || channels <= 0) return -2;
+  bool is_float = fmt == 3;
+  if (fmt != 1 && fmt != 3) return -2;
+  return decode_pcm(data, data_len, bits, true, is_float, channels, d);
+}
+
+static double read_extended80(const uint8_t *p) {
+  uint16_t exp_raw = rd_u16be(p);
+  uint64_t mant = 0;
+  for (int i = 0; i < 8; ++i) mant = (mant << 8) | p[2 + i];
+  double sign = (exp_raw & 0x8000) ? -1.0 : 1.0;
+  int exp = exp_raw & 0x7FFF;
+  if (exp == 0 && mant == 0) return 0.0;
+  return sign * (double)mant * std::pow(2.0, exp - 16383 - 63);
+}
+
+static int decode_aiff(const std::vector<uint8_t> &b, Decoded &d) {
+  if (b.size() < 12 || std::memcmp(b.data(), "FORM", 4)) return -2;
+  bool aifc = !std::memcmp(b.data() + 8, "AIFC", 4);
+  if (!aifc && std::memcmp(b.data() + 8, "AIFF", 4)) return -2;
+  size_t pos = 12;
+  int channels = 0, bits = 0;
+  bool little = false;
+  const uint8_t *frames = nullptr;
+  size_t frames_len = 0;
+  while (pos + 8 <= b.size()) {
+    uint32_t size = rd_u32be(b.data() + pos + 4);
+    const uint8_t *body = b.data() + pos + 8;
+    size_t avail = std::min((size_t)size, b.size() - pos - 8);
+    if (!std::memcmp(b.data() + pos, "COMM", 4) && avail >= 18) {
+      channels = rd_u16be(body);
+      bits = rd_u16be(body + 6);
+      d.rate = (int)std::lround(read_extended80(body + 8));
+      if (aifc && avail >= 22) {
+        if (!std::memcmp(body + 18, "sowt", 4)) little = true;
+        else if (std::memcmp(body + 18, "NONE", 4)) return -2;
+      }
+    } else if (!std::memcmp(b.data() + pos, "SSND", 4) && avail >= 8) {
+      uint32_t offset = rd_u32be(body);
+      frames = body + 8 + offset;
+      frames_len = avail - 8 - offset;
+    }
+    pos += 8 + size + (size & 1);
+  }
+  if (!frames || channels <= 0) return -2;
+  return decode_pcm(frames, frames_len, bits, little, false, channels, d);
+}
+
+/* -------------------------------------------------- polyphase resample */
+
+static double bessel_i0(double x) {
+  /* series expansion; converges fast for the kaiser betas we use */
+  double sum = 1.0, term = 1.0;
+  double x2 = x * x / 4.0;
+  for (int k = 1; k < 64; ++k) {
+    term *= x2 / ((double)k * k);
+    sum += term;
+    if (term < 1e-16 * sum) break;
+  }
+  return sum;
+}
+
+static std::vector<float> resample_channel(const std::vector<float> &x,
+                                           int src_rate, int dst_rate) {
+  if (src_rate == dst_rate) return x;
+  int g = (int)std::gcd(src_rate, dst_rate);
+  int up = dst_rate / g, down = src_rate / g;
+  const int taps_per_phase = 16;
+  int num_taps = taps_per_phase * up;
+  if (num_taps % 2 == 0) num_taps += 1; /* symmetric filter */
+  double cutoff = 0.5 / std::max(up, down);
+  double beta = 8.0;
+  std::vector<double> h((size_t)num_taps);
+  double center = (num_taps - 1) / 2.0;
+  double denom = bessel_i0(beta);
+  double sum = 0.0;
+  for (int i = 0; i < num_taps; ++i) {
+    double t = i - center;
+    double sinc = t == 0.0 ? 2 * cutoff : std::sin(2 * M_PI * cutoff * t) / (M_PI * t);
+    double r = 2.0 * i / (num_taps - 1) - 1.0;
+    double w = bessel_i0(beta * std::sqrt(std::max(0.0, 1.0 - r * r))) / denom;
+    h[(size_t)i] = sinc * w;
+    sum += sinc * w;
+  }
+  for (auto &v : h) v = v / sum * up;
+
+  int64_t n = (int64_t)x.size();
+  int64_t out_len = (n * up + down - 1) / down;
+  std::vector<float> y((size_t)out_len, 0.0f);
+  int64_t pad = num_taps / 2;
+  for (int64_t m = 0; m < out_len; ++m) {
+    /* upsampled index of output sample m */
+    int64_t uidx = m * down;
+    double acc = 0.0;
+    /* x_up[j] nonzero only at j % up == 0 -> input index j/up */
+    int64_t jlo = uidx - pad;
+    /* first k with (jlo + k) % up == 0 */
+    int64_t rem = ((jlo % up) + up) % up;
+    int64_t k0 = rem == 0 ? 0 : up - rem;
+    for (int64_t k = k0; k < num_taps; k += up) {
+      int64_t j = (jlo + k) / up;
+      if (j >= 0 && j < n) acc += h[(size_t)k] * x[(size_t)j];
+    }
+    y[(size_t)m] = (float)acc;
+  }
+  return y;
+}
+
+extern "C" int a2m_decode_audio(const char *path, int sample_rate, float **out,
+                                int64_t *out_len) {
+  std::vector<uint8_t> bytes;
+  if (!read_file(path, bytes)) return -1;
+  Decoded d;
+  std::string p(path);
+  auto ends_with = [&](const char *s) {
+    size_t l = std::strlen(s);
+    return p.size() >= l &&
+           std::equal(p.end() - (long)l, p.end(), s, [](char a, char b) {
+             return std::tolower(a) == b;
+           });
+  };
+  int rc;
+  if (ends_with(".wav") || ends_with(".wave")) rc = decode_wav(bytes, d);
+  else if (ends_with(".aif") || ends_with(".aiff") || ends_with(".aifc"))
+    rc = decode_aiff(bytes, d);
+  else return -3; /* unsupported container: caller falls back to ffmpeg */
+  if (rc != 0) return rc;
+
+  if (d.rate != sample_rate) {
+    d.left = resample_channel(d.left, d.rate, sample_rate);
+    d.right = resample_channel(d.right, d.rate, sample_rate);
+  }
+  int64_t n = (int64_t)d.left.size();
+  float *buf = (float *)std::malloc(sizeof(float) * 2 * (size_t)n);
+  if (!buf) return -4;
+  std::memcpy(buf, d.left.data(), sizeof(float) * (size_t)n);
+  std::memcpy(buf + n, d.right.data(), sizeof(float) * (size_t)n);
+  *out = buf;
+  *out_len = n;
+  return 0;
+}
+
+extern "C" void a2m_normalize_loudness(float *samples, int64_t len) {
+  /* python.rs:236-264: silence guard at peak <= 0.05, joint unit variance */
+  int64_t total = 2 * len;
+  float peak = 0.0f;
+  for (int64_t i = 0; i < total; ++i) peak = std::max(peak, std::fabs(samples[i]));
+  if (peak <= 0.05f) return;
+  double acc = 0.0;
+  for (int64_t i = 0; i < total; ++i)
+    acc += (double)samples[i] * samples[i] / (double)total;
+  double adjustment = std::sqrt(1.0 / acc);
+  for (int64_t i = 0; i < total; ++i)
+    samples[i] = (float)((double)samples[i] * adjustment);
+}
+
+/* -------------------------------------------------------------- cache */
+
+static std::optional<fs::path> cache_file(const char *path, int sample_rate) {
+  const char *dir = std::getenv("SAMPLE_CACHE_DIR");
+  if (!dir || !*dir) return std::nullopt;
+  std::string hash = sha256::hex(path).substr(0, 30);
+  std::string name = hash + "_" + std::to_string(sample_rate);
+  return fs::path(dir) / name.substr(0, 4) / (name + ".a2mc");
+}
+
+extern "C" int a2m_load_audio_sample(const char *path, int sample_rate,
+                                     int skip_cache, float **out,
+                                     int64_t *out_len) {
+  auto cpath = cache_file(path, sample_rate);
+  if (cpath && !skip_cache && fs::exists(*cpath)) {
+    std::vector<uint8_t> raw;
+    if (read_file(cpath->c_str(), raw) && raw.size() >= 12 &&
+        !std::memcmp(raw.data(), "A2MC", 4)) {
+      int64_t n;
+      std::memcpy(&n, raw.data() + 4, 8);
+      if ((int64_t)raw.size() == 12 + 2 * n * 2 && n >= 0) {
+        float *buf = (float *)std::malloc(sizeof(float) * 2 * (size_t)n);
+        if (!buf) return -4;
+        const uint16_t *h = (const uint16_t *)(raw.data() + 12);
+        for (int64_t i = 0; i < 2 * n; ++i) buf[i] = f16_to_f32(h[i]);
+        *out = buf;
+        *out_len = n;
+        return 0;
+      }
+    }
+    std::error_code ec;
+    fs::remove(*cpath, ec); /* corrupt: self-heal (python.rs:339-343) */
+  }
+
+  int rc = a2m_decode_audio(path, sample_rate, out, out_len);
+  if (rc != 0) return rc;
+  a2m_normalize_loudness(*out, *out_len);
+
+  if (cpath) {
+    std::error_code ec;
+    fs::create_directories(cpath->parent_path(), ec);
+    int64_t n = *out_len;
+    std::vector<uint16_t> h((size_t)(2 * n));
+    for (int64_t i = 0; i < 2 * n; ++i) h[(size_t)i] = f32_to_f16((*out)[i]);
+    fs::path tmp = *cpath;
+    tmp += ".tmp";
+    {
+      std::ofstream f(tmp, std::ios::binary);
+      f.write("A2MC", 4);
+      f.write((const char *)&n, 8);
+      f.write((const char *)h.data(), (std::streamsize)(h.size() * 2));
+    }
+    fs::rename(tmp, *cpath, ec);
+    /* round through f16 exactly like a cache hit would */
+    for (int64_t i = 0; i < 2 * n; ++i) (*out)[i] = f16_to_f32(h[(size_t)i]);
+  }
+  return 0;
+}
+
+/* ------------------------------------------------------------- labels */
+
+static int64_t round_half_away(double x) {
+  return x >= 0 ? (int64_t)std::floor(x + 0.5) : -(int64_t)std::floor(-x + 0.5);
+}
+
+extern "C" int a2m_parse_events_csv(const char *path, double dpf,
+                                    int32_t **events_out, int64_t *n_out) {
+  std::ifstream f(path);
+  if (!f) return -1;
+  std::vector<std::array<int32_t, 4>> events;
+  std::string line;
+  bool first_record = true;
+  while (std::getline(f, line)) {
+    size_t b = line.find_first_not_of(" \t\r\n");
+    if (b == std::string::npos) continue;
+    size_t e = line.find_last_not_of(" \t\r\n");
+    std::string t = line.substr(b, e - b + 1);
+    if (t.empty() || t[0] == '%') continue;
+    if (first_record) { first_record = false; continue; } /* python.rs:72 */
+    double vals[4];
+    int idx = 0;
+    size_t pos = 0;
+    bool ok = true;
+    while (idx < 4) {
+      size_t comma = t.find(',', pos);
+      std::string tok = t.substr(pos, comma == std::string::npos ? std::string::npos : comma - pos);
+      try {
+        vals[idx++] = std::stod(tok);
+      } catch (...) { ok = false; break; }
+      if (comma == std::string::npos) break;
+      pos = comma + 1;
+    }
+    if (!ok || idx < 4) continue;
+    int32_t attack = (int32_t)round_half_away(vals[0] / dpf);
+    int32_t key = (int32_t)vals[2] - 21;
+    int32_t dur = (int32_t)std::max<int64_t>(round_half_away(vals[1] / dpf), 1);
+    int32_t vel = (int32_t)round_half_away(vals[3] * 10.0);
+    events.push_back({attack, key, dur, vel});
+  }
+  std::sort(events.begin(), events.end());
+  int32_t *buf = (int32_t *)std::malloc(sizeof(int32_t) * 4 * events.size() + 1);
+  if (!buf) return -4;
+  for (size_t i = 0; i < events.size(); ++i)
+    std::memcpy(buf + 4 * i, events[i].data(), 4 * sizeof(int32_t));
+  *events_out = buf;
+  *n_out = (int64_t)events.size();
+  return 0;
+}
+
+extern "C" int a2m_rasterize(const int32_t *events, int64_t n_events,
+                             int32_t num_frames, int32_t start_frame,
+                             int32_t backing_frames, int32_t num_keys,
+                             float *out) {
+  /* python.rs:423-447 */
+  std::memset(out, 0, sizeof(float) * (size_t)num_frames * (size_t)num_keys);
+  for (int64_t i = 0; i < n_events; ++i) {
+    int32_t attack = events[4 * i], key = events[4 * i + 1],
+            dur = events[4 * i + 2];
+    if (key < 0 || key >= num_keys) continue;
+    int32_t fs = attack - start_frame;
+    int32_t fe = fs + dur;
+    if (fs > 0 && fs < num_frames) out[(size_t)(fs - 1) * num_keys + key] = 0.0f;
+    int32_t lo = std::max(fs, 0);
+    int32_t hi = std::min({fe, num_frames, backing_frames});
+    for (int32_t fr = lo; fr < hi; ++fr) {
+      float t = (float)(fr - fs);
+      out[(size_t)fr * num_keys + key] = std::max(std::exp(-0.05f * t), 0.6f);
+    }
+  }
+  return 0;
+}
+
+/* ------------------------------------------------------- augmentations */
+
+extern "C" int a2m_transform_for_training(float *audio, float *labels,
+                                          int64_t batch, int64_t n_samples,
+                                          int64_t n_frames, int64_t n_keys,
+                                          const double *s, int pan_parity,
+                                          uint64_t seed) {
+  /* python.rs:566-932; settings order: pan, channel_switch, cut, rotate,
+   * random_erasing, mixup, gain, noise, label_smoothing_alpha */
+  if (batch <= 0) return 0;
+  std::mt19937_64 rng(seed);
+  auto uidx = [&](int64_t n) {
+    return (int64_t)(rng() % (uint64_t)n);
+  };
+  auto uniform = [&](double lo, double hi) {
+    return std::uniform_real_distribution<double>(lo, hi)(rng);
+  };
+  auto L = [&](int64_t b) { return audio + (size_t)b * 2 * n_samples; };
+  auto R = [&](int64_t b) { return audio + (size_t)b * 2 * n_samples + n_samples; };
+  auto lab = [&](int64_t b) { return labels + (size_t)b * n_frames * n_keys; };
+  int64_t apps;
+
+  /* pan (python.rs:721-750) */
+  double pan_prob = pan_parity ? s[1] : s[0];
+  apps = (int64_t)(pan_prob * (double)batch);
+  for (int64_t i = 0; i < apps; ++i) {
+    int64_t b = uidx(batch);
+    float eps = 0.01f;
+    bool lempty = true, rempty = true;
+    for (int64_t j = 0; j < n_samples && (lempty || rempty); ++j) {
+      if (std::fabs(L(b)[j]) >= eps) lempty = false;
+      if (std::fabs(R(b)[j]) >= eps) rempty = false;
+    }
+    if (lempty || rempty) continue;
+    float pf = (float)uniform(0.0, 1.0);
+    float lg = std::min(2.0f * (1.0f - pf), 1.0f), rg = std::min(2.0f * pf, 1.0f);
+    for (int64_t j = 0; j < n_samples; ++j) {
+      L(b)[j] *= lg;
+      R(b)[j] *= rg;
+    }
+  }
+
+  /* channel switch (python.rs:707-719) */
+  apps = (int64_t)(s[1] * (double)batch);
+  for (int64_t i = 0; i < apps; ++i) {
+    int64_t b = uidx(batch);
+    std::swap_ranges(L(b), L(b) + n_samples, R(b));
+  }
+
+  /* cut mix (python.rs:566-623) */
+  apps = (int64_t)(s[2] * (double)batch);
+  for (int64_t i = 0; i < apps; ++i) {
+    int64_t a = uidx(batch), b = uidx(batch);
+    double min_cut = 0.01;
+    double cs = uniform(0.0, 1.0 - min_cut);
+    double cl = uniform(min_cut, 1.0 - cs);
+    int64_t alo = (int64_t)(cs * (double)n_samples),
+            ahi = (int64_t)((cs + cl) * (double)n_samples);
+    std::vector<float> bl(R(b) - n_samples + alo, R(b) - n_samples + ahi);
+    std::vector<float> br(R(b) + alo, R(b) + ahi);
+    std::copy(bl.begin(), bl.end(), L(a) + alo);
+    std::copy(br.begin(), br.end(), R(a) + alo);
+    int64_t flo = (int64_t)(cs * (double)n_frames),
+            fhi = (int64_t)((cs + cl) * (double)n_frames);
+    std::vector<float> fv(lab(b) + flo * n_keys, lab(b) + fhi * n_keys);
+    std::copy(fv.begin(), fv.end(), lab(a) + flo * n_keys);
+  }
+
+  /* rotate (python.rs:683-705) */
+  apps = (int64_t)(s[3] * (double)batch);
+  for (int64_t i = 0; i < apps; ++i) {
+    int64_t b = uidx(batch);
+    double roll = uniform(0.0, 1.0);
+    int64_t ar = (int64_t)(roll * (double)n_samples);
+    int64_t fr = (int64_t)(roll * (double)n_frames);
+    std::rotate(L(b), L(b) + (n_samples - ar) % n_samples, L(b) + n_samples);
+    std::rotate(R(b), R(b) + (n_samples - ar) % n_samples, R(b) + n_samples);
+    std::rotate(lab(b), lab(b) + ((n_frames - fr) % n_frames) * n_keys,
+                lab(b) + n_frames * n_keys);
+  }
+
+  /* random erasing (python.rs:752-777) */
+  apps = (int64_t)(s[4] * (double)batch);
+  for (int64_t i = 0; i < apps; ++i) {
+    int64_t b = uidx(batch);
+    double min_e = 0.01, max_e = 0.10;
+    double es = uniform(0.0, 1.0 - min_e);
+    double el = uniform(min_e, std::min(max_e, 1.0 - es));
+    int64_t lo = (int64_t)(es * (double)n_samples),
+            hi = (int64_t)((es + el) * (double)n_samples);
+    std::fill(L(b) + lo, L(b) + hi, 0.0f);
+    std::fill(R(b) + lo, R(b) + hi, 0.0f);
+  }
+
+  /* mixup (python.rs:625-681): lambda ~ Beta(2,2); labels elementwise max */
+  apps = (int64_t)(s[5] * (double)batch);
+  for (int64_t i = 0; i < apps; ++i) {
+    int64_t a = uidx(batch), b = uidx(batch);
+    std::gamma_distribution<double> gamma2(2.0, 1.0);
+    double g1 = gamma2(rng), g2 = gamma2(rng);
+    float lam = (float)(g1 / (g1 + g2));
+    for (int64_t j = 0; j < n_samples; ++j) {
+      L(a)[j] = lam * L(a)[j] + (1.0f - lam) * L(b)[j];
+      R(a)[j] = lam * R(a)[j] + (1.0f - lam) * R(b)[j];
+    }
+    for (int64_t j = 0; j < n_frames * n_keys; ++j)
+      lab(a)[j] = std::max(lab(a)[j], lab(b)[j]);
+  }
+
+  /* gain (python.rs:779-798) */
+  apps = (int64_t)(s[6] * (double)batch);
+  for (int64_t i = 0; i < apps; ++i) {
+    int64_t b = uidx(batch);
+    std::normal_distribution<double> nd(1.0, 0.25);
+    float g = (float)std::clamp(nd(rng), 0.5, 1.5);
+    for (int64_t j = 0; j < 2 * n_samples; ++j) L(b)[j] *= g;
+  }
+
+  /* noise (python.rs:800-820) */
+  apps = (int64_t)(s[7] * (double)batch);
+  for (int64_t i = 0; i < apps; ++i) {
+    int64_t b = uidx(batch);
+    double sigma = uniform(0.0, 0.25);
+    std::normal_distribution<double> nd(0.0, sigma);
+    for (int64_t j = 0; j < n_samples; ++j) {
+      L(b)[j] += (float)nd(rng);
+      R(b)[j] += (float)nd(rng);
+    }
+  }
+
+  /* label smoothing (python.rs:822-836) */
+  float alpha = (float)s[8];
+  if (alpha > 0.0f) {
+    for (int64_t b = 0; b < batch; ++b)
+      for (int64_t j = 0; j < n_frames * n_keys; ++j)
+        lab(b)[j] = std::clamp(lab(b)[j], alpha, 1.0f - alpha);
+  }
+  return 0;
+}
+
+/* ------------------------------------------------------------ stitcher */
+
+extern "C" int a2m_stitch_probs(const float *probs, int64_t windows,
+                                int64_t fpw, int64_t keys, double overlap,
+                                double dpf, float **out, int64_t *out_frames) {
+  /* common.rs:13-45 */
+  double ov = overlap / dpf;
+  int64_t total = windows * fpw - (int64_t)ov * (windows - 1);
+  float *st = (float *)std::calloc((size_t)(total * keys), sizeof(float));
+  if (!st) return -4;
+  double base = 0.0;
+  int64_t blend_limit = (int64_t)std::ceil(ov);
+  for (int64_t w = 0; w < windows; ++w) {
+    for (int64_t f = 0; f < fpw; ++f) {
+      int64_t idx = (int64_t)base + f;
+      const float *src = probs + (w * fpw + f) * keys;
+      float *dst = st + idx * keys;
+      if (w > 0 && f <= blend_limit && ov > 0.0) {
+        double blend = (double)f / ov;
+        for (int64_t k = 0; k < keys; ++k)
+          dst[k] = (float)((1.0 - blend) * (double)dst[k] + blend * (double)src[k]);
+      } else {
+        std::memcpy(dst, src, sizeof(float) * (size_t)keys);
+      }
+    }
+    base += (double)fpw - ov;
+  }
+  *out = st;
+  *out_frames = total;
+  return 0;
+}
+
+/* ----------------------------------------------------------- eventizer */
+
+static std::vector<std::array<uint32_t, 4>> extract_events_impl(
+    const float *probs, int64_t frames, int64_t keys) {
+  /* common.rs:47-144 */
+  const float reactivation_gap = 0.1f, reactivation_threshold = 0.4f,
+              activation_threshold = 0.5f, deactivation_threshold = 0.1f;
+  auto P = [&](int64_t f, int64_t k) { return probs[f * keys + k]; };
+  auto duration = [](int64_t end, int64_t start) {
+    return (uint32_t)std::max<int64_t>(end - start, 1);
+  };
+  std::vector<std::array<uint32_t, 4>> events;
+  std::vector<int64_t> started(keys, -1);
+  for (int64_t f = 0; f < frames; ++f) {
+    for (int64_t k = 0; k < keys; ++k) {
+      if (started[k] >= 0) {
+        int64_t s = started[k];
+        if (P(f, k) < deactivation_threshold) {
+          events.push_back({(uint32_t)s, (uint32_t)k, duration(f, s), 7});
+          started[k] = -1;
+        } else {
+          float time_since = (float)(f - s);
+          bool should_reactivate = false;
+          if (time_since > 5.0f) {
+            const int64_t samples = 6;
+            float prev = 0.0f;
+            for (int64_t i = f - samples; i < f; ++i) prev += P(i, k);
+            prev /= (float)samples;
+            float next = 0.0f;
+            for (int64_t i = f; i < std::min(f + samples, frames); ++i)
+              next += P(i, k);
+            next /= (float)samples;
+            should_reactivate = next - prev > reactivation_gap;
+          }
+          if (f < frames - 1 && P(f, k) < P(f + 1, k)) continue;
+          if (P(f, k) > reactivation_threshold && should_reactivate) {
+            events.push_back({(uint32_t)s, (uint32_t)k, duration(f - 1, s), 7});
+            started[k] = f;
+          }
+        }
+      } else if (P(f, k) > activation_threshold) {
+        started[k] = f;
+      }
+    }
+  }
+  for (int64_t k = 0; k < keys; ++k)
+    if (started[k] >= 0)
+      events.push_back(
+          {(uint32_t)started[k], (uint32_t)k, duration(frames, started[k]), 7});
+  std::sort(events.begin(), events.end());
+  return events;
+}
+
+extern "C" int a2m_extract_events(const float *probs, int64_t frames,
+                                  int64_t keys, uint32_t **events_out,
+                                  int64_t *n_out) {
+  auto events = extract_events_impl(probs, frames, keys);
+  uint32_t *buf = (uint32_t *)std::malloc(sizeof(uint32_t) * 4 * events.size() + 1);
+  if (!buf) return -4;
+  for (size_t i = 0; i < events.size(); ++i)
+    std::memcpy(buf + 4 * i, events[i].data(), 4 * sizeof(uint32_t));
+  *events_out = buf;
+  *n_out = (int64_t)events.size();
+  return 0;
+}
+
+/* ----------------------------------------------- mobile C ABI (cbinds.rs) */
+
+extern "C" A2mMidiEventList *extract_midi_events(A2mMultiArray3 data,
+                                                 double overlap, double dpf) {
+  int64_t windows = (int64_t)data.dims[0], fpw = (int64_t)data.dims[1],
+          keys = (int64_t)data.dims[2];
+  const uint16_t *h = (const uint16_t *)data.data;
+  std::vector<float> dense((size_t)(windows * fpw * keys));
+  for (int64_t w = 0; w < windows; ++w)
+    for (int64_t f = 0; f < fpw; ++f)
+      for (int64_t k = 0; k < keys; ++k)
+        dense[(size_t)((w * fpw + f) * keys + k)] = f16_to_f32(
+            h[w * (int64_t)data.strides[0] + f * (int64_t)data.strides[1] +
+              k * (int64_t)data.strides[2]]);
+
+  float *stitched = nullptr;
+  int64_t frames = 0;
+  if (a2m_stitch_probs(dense.data(), windows, fpw, keys, overlap, dpf,
+                       &stitched, &frames) != 0)
+    return nullptr;
+  auto events = extract_events_impl(stitched, frames, keys);
+  std::free(stitched);
+
+  auto *list = (A2mMidiEventList *)std::malloc(sizeof(A2mMidiEventList));
+  list->length = events.size();
+  list->capacity = events.size();
+  list->ptr = (A2mMidiEvent *)std::malloc(sizeof(A2mMidiEvent) *
+                                          std::max<size_t>(events.size(), 1));
+  for (size_t i = 0; i < events.size(); ++i) {
+    list->ptr[i].attack_time = events[i][0];
+    list->ptr[i].note = (uint8_t)events[i][1];
+    list->ptr[i].duration = events[i][2];
+    list->ptr[i].velocity = (uint8_t)events[i][3];
+  }
+  return list;
+}
+
+extern "C" void free_midi_events(A2mMidiEventList *list) {
+  if (list) {
+    std::free(list->ptr);
+    std::free(list);
+  }
+}
