@@ -95,7 +95,9 @@ def test_sample_cache(tmp_path, dataset, monkeypatch):
     monkeypatch.setenv("SAMPLE_CACHE_DIR", str(tmp_path / "cache"))
     f = loader.resolve_audio_file(d / names[0])
     a1 = loader.load_audio_sample(f, SAMPLE_RATE)
-    cached = list((tmp_path / "cache").rglob("*.npy"))
+    cached = list((tmp_path / "cache").rglob("*.npy")) + list(
+        (tmp_path / "cache").rglob("*.a2mc")  # native plane cache format
+    )
     assert len(cached) == 1
     a2 = loader.load_audio_sample(f, SAMPLE_RATE)
     np.testing.assert_array_equal(a1, a2)
