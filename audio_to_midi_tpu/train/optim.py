@@ -62,6 +62,20 @@ def max_conv_depth(model_cfg: ModelConfig) -> int:
     return sum(model_cfg.depths)  # deepest block label == sum(depths)
 
 
+def _scale_updates_per_leaf(factors) -> optax.GradientTransformation:
+    """Multiply each update leaf by a static per-leaf factor."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        return jax.tree.map(lambda u, f: u * f, updates, factors), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def setup_optimizers(
     params,
     model_cfg: ModelConfig,
@@ -77,28 +91,32 @@ def setup_optimizers(
         (depth_of(l) for l in label_set if l.startswith("conv_layer")), default=0
     )
 
-    def adamw(lr: float):
-        return optax.adamw(
+    def factor(lbl: str) -> float:
+        if lbl.startswith("conv_layer"):
+            return train_cfg.layer_lr_decay ** (max_depth - depth_of(lbl))
+        return 1.0
+
+    factors = jax.tree.map(factor, labels)
+
+    # The reference routes one AdamW-per-depth via optax.multi_transform
+    # (train.py:721-726).  AdamW's update is linear in the learning rate for
+    # fixed moments, and schedule(base * d) == d * schedule(base) for the
+    # warmup+cosine schedule, so a single AdamW followed by a per-leaf scale
+    # by d is arithmetically identical — and compiles ~40x fewer masked
+    # optimizer instances.
+    tx = optax.chain(
+        optax.adamw(
             create_learning_rate_schedule(
-                lr, train_cfg.warmup_steps, train_cfg.num_steps
+                train_cfg.base_learning_rate, train_cfg.warmup_steps, train_cfg.num_steps
             ),
             b1=train_cfg.adam_b1,
             b2=train_cfg.adam_b2,
             eps=train_cfg.adam_eps,
             weight_decay=train_cfg.weight_decay,
-        )
-
-    transforms = {"default|0": adamw(train_cfg.base_learning_rate)}
-    for lbl in label_set:
-        if lbl.startswith("conv_layer"):
-            depth = depth_of(lbl)
-            transforms[lbl] = adamw(
-                train_cfg.base_learning_rate
-                * train_cfg.layer_lr_decay ** (max_depth - depth)
-            )
-
-    tx = optax.multi_transform(transforms, labels)
-    tx = optax.chain(tx, optax.clip_by_global_norm(train_cfg.global_norm_clip))
+        ),
+        _scale_updates_per_leaf(factors),
+        optax.clip_by_global_norm(train_cfg.global_norm_clip),
+    )
     schedule = create_learning_rate_schedule(
         train_cfg.base_learning_rate, train_cfg.warmup_steps, train_cfg.num_steps
     )
