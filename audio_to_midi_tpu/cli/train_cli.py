@@ -110,7 +110,7 @@ def main(argv=None) -> int:
     mesh = make_mesh(cfg.train.ensemble_size)
     params = shard_params(params, mesh)
 
-    tx, lr_schedule = setup_optimizers(params, cfg.model, cfg.train)
+    tx, lr_schedule = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
     opt_state = jax.vmap(tx.init)(params)
     opt_state = shard_params(opt_state, mesh)
 

@@ -57,7 +57,14 @@ def init_block(key, channels: int, hidden_dim: int, kernel_size: int = 7) -> Par
 
 
 def init_cnn(key, cfg: ModelConfig) -> tuple[Params, list[float]]:
-    """Build all 7 stages.  Returns (params, per-block sdd rates)."""
+    """Build all 7 stages.  Returns (params, per-block sdd rates).
+
+    Blocks within a stage are homogeneous, so their params are STACKED along
+    a leading (depth,) axis and executed with ``lax.scan`` — one compiled
+    block body per stage instead of 39 unrolled blocks (the reference unrolls
+    an eqx Sequential, model.py:707-713; scanning is semantically identical
+    and keeps XLA programs and compile times small).
+    """
     dims = cfg.dims
     hidden = cfg.cnn_hidden_dims
     depths = cfg.depths
@@ -67,7 +74,6 @@ def init_cnn(key, cfg: ModelConfig) -> tuple[Params, list[float]]:
 
     stages = []
     keys = jax.random.split(key, len(dims))
-    depth_count = 0
     for i, stage_key in enumerate(keys):
         ds_key, blocks_key = jax.random.split(stage_key)
         if i == 0:
@@ -75,11 +81,9 @@ def init_cnn(key, cfg: ModelConfig) -> tuple[Params, list[float]]:
         else:
             down = init_downsample(ds_key, dims[i - 1], dims[i])
         block_keys = jax.random.split(blocks_key, depths[i])
-        blocks = [
-            init_block(bk, dims[i], hidden[i]) for bk in block_keys
-        ]
-        stages.append({"down": down, "blocks": blocks})
-        depth_count += depths[i]
+        blocks = [init_block(bk, dims[i], hidden[i]) for bk in block_keys]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        stages.append({"down": down, "blocks": stacked})
     return {"stages": stages, "final_norm": nn.init_layer_norm(dims[-1])}, sdd_rates
 
 
@@ -125,8 +129,9 @@ def block(
     out = nn.gelu(out)
     out = nn.linear(out, p["pw2"])
     out = p["gamma"].astype(out.dtype) * out
-    if enable_sdd and sdd_rate > 0.0:
+    if enable_sdd:
         # Whole-branch drop, one draw per sample (reference model.py:80-81).
+        # sdd_rate may be a traced scalar (scanned per block).
         rand = jax.random.uniform(key, (x.shape[0], 1, 1))
         out = jnp.where(rand < sdd_rate, jnp.zeros_like(out), out)
     return out + x
@@ -140,16 +145,20 @@ def cnn_forward(
     key: jax.Array | None = None,
     enable_dropout: bool = False,
 ) -> jax.Array:
-    """Full encoder.  x: (B, L_samples, 2) -> (B, frames, dims[-1])."""
+    """Full encoder.  x: (B, L_samples, 2) -> (B, frames, dims[-1]).
+
+    Each stage scans its stacked blocks under ``jax.checkpoint`` (per-block
+    rematerialization, mirroring the transformer stack's policy)."""
     import numpy as np
+    from functools import partial
 
     enable_sdd = enable_dropout and cfg.enable_cnn_stochastic_depth
     sdd_rates = np.linspace(0.0, cfg.sdd_rate, sum(cfg.depths))
     n_blocks_total = sum(cfg.depths)
     if enable_sdd:
-        block_keys = list(jax.random.split(key, n_blocks_total))
+        all_keys = jax.random.split(key, n_blocks_total)
     else:
-        block_keys = [None] * n_blocks_total
+        all_keys = jnp.zeros((n_blocks_total, 2), dtype=jnp.uint32)
 
     h = x
     depth_count = 0
@@ -158,13 +167,28 @@ def cnn_forward(
             h = stem(h, stage["down"])
         else:
             h = downsample(h, stage["down"])
-        for j, bp in enumerate(stage["blocks"]):
-            h = block(
-                h,
+
+        depth_i = cfg.depths[i]
+        stage_rates = jnp.asarray(
+            sdd_rates[depth_count : depth_count + depth_i], jnp.float32
+        )
+        stage_keys = all_keys[depth_count : depth_count + depth_i]
+
+        @partial(
+            jax.checkpoint,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+        def body(carry, scanned):
+            bp, rate, bkey = scanned
+            out = block(
+                carry,
                 bp,
-                sdd_rate=float(sdd_rates[depth_count + j]),
+                sdd_rate=rate,
                 enable_sdd=enable_sdd,
-                key=block_keys[depth_count + j],
+                key=bkey if enable_sdd else None,
             )
-        depth_count += len(stage["blocks"])
+            return out, None
+
+        h, _ = jax.lax.scan(body, h, (stage["blocks"], stage_rates, stage_keys))
+        depth_count += depth_i
     return nn.layer_norm(h, params["final_norm"])

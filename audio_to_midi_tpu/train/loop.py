@@ -82,7 +82,9 @@ def train(
     grad_scale = 1.0
     use_loss_scaling = cfg.precision.needs_loss_scaling
     recovery = (_copy_to_host(params), _copy_to_host(opt_state))
-    loss_sum = np.zeros((cfg.train.ensemble_size,), np.float64)
+    # Loss accumulates ON DEVICE; the host only syncs at print_every — a
+    # per-step sync would serialize the pipeline on dispatch latency.
+    loss_sum = jnp.zeros((cfg.train.ensemble_size,), jnp.float32)
     loss_count = 0
     t_start = time.time()
     step = start_step - 1
@@ -122,11 +124,11 @@ def train(
         if checkpoint_manager is not None:
             ckpt.save_checkpoint(checkpoint_manager, step, params, state)
 
-        loss_sum = loss_sum + np.asarray(loss, np.float64)
+        loss_sum = loss_sum + loss
         loss_count += 1
 
         if step % cfg.train.print_every == 0:
-            averaged = loss_sum / max(loss_count, 1)
+            averaged = np.asarray(loss_sum, np.float64) / max(loss_count, 1)
             lr = float(learning_rate_schedule(step))
             steps_per_s = loss_count / max(time.time() - t_start, 1e-9)
             log.info(
@@ -140,7 +142,7 @@ def train(
                 summary_writer.flush()
             if step_hook is not None:
                 step_hook(step, {"loss": averaged, "lr": lr, "steps_per_s": steps_per_s})
-            loss_sum = np.zeros_like(loss_sum)
+            loss_sum = jnp.zeros_like(loss_sum)
             loss_count = 0
             t_start = time.time()
 

@@ -14,6 +14,7 @@ Reference semantics (train.py:454-466, 646-729):
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from ..config import ModelConfig, TrainConfig
@@ -31,14 +32,7 @@ def create_learning_rate_schedule(
     )
 
 
-def _path_label(path, model_cfg: ModelConfig) -> str:
-    """Map a param pytree path to its LR-decay label.
-
-    Our pytree: params["cnn"]["stages"][i]["down"|"blocks"][j][...].
-    Depth = sum(depths[:i]) for the stage's down/stem, + j + 1 for block j —
-    matching the reference's Sequential indices (train.py:649-670: the
-    downsample is element 0 of each Sequential, blocks are 1..depth).
-    """
+def _path_keys(path) -> list:
     keys = []
     for p in path:
         if isinstance(p, jax.tree_util.DictKey):
@@ -47,19 +41,57 @@ def _path_label(path, model_cfg: ModelConfig) -> str:
             keys.append(p.idx)
         else:
             keys.append(str(p))
-    if len(keys) >= 2 and keys[0] == "cnn" and keys[1] == "stages":
+    return keys
+
+
+def _path_label(path, model_cfg: ModelConfig) -> str:
+    """Map a param pytree path to its LR-decay label.
+
+    Our pytree: params["cnn"]["stages"][i]["down"|"blocks"][...] where block
+    params are STACKED along a leading (depths[i],) axis.  Depth counting
+    matches the reference's Sequential indices (train.py:649-670): the
+    stem/downsample of stage i is depth sum(depths[:i]); block j within the
+    stage is that prefix + j + 1.  Stacked block leaves get the label of the
+    stage ("conv_stage|i"); their per-block depth factors are expanded in
+    :func:`setup_optimizers`.
+    """
+    keys = _path_keys(path)
+    if len(keys) >= 4 and keys[0] == "cnn" and keys[1] == "stages":
         stage = keys[2]
         prefix = sum(model_cfg.depths[:stage])
         if keys[3] == "down":
-            depth = prefix
-        else:  # blocks / j
-            depth = prefix + keys[4] + 1
-        return f"conv_layer|{depth}"
+            return f"conv_layer|{prefix}"
+        return f"conv_stage|{stage}"
     return "default|0"
 
 
 def max_conv_depth(model_cfg: ModelConfig) -> int:
     return sum(model_cfg.depths)  # deepest block label == sum(depths)
+
+
+def lr_decay_factors(params, model_cfg: ModelConfig, decay: float):
+    """Per-leaf LR multipliers implementing the reference's layer-wise decay:
+    ``decay ** (max_depth - depth)`` with depth as in :func:`_path_label`.
+    Stacked block leaves get a per-block factor along their leading axis."""
+    max_depth = max_conv_depth(model_cfg)
+
+    def leaf_factor(path, leaf):
+        lbl = _path_label(path, model_cfg)
+        kind, _, idx = lbl.partition("|")
+        if kind == "conv_layer":
+            return decay ** (max_depth - int(idx))
+        if kind == "conv_stage":
+            stage = int(idx)
+            prefix = sum(model_cfg.depths[:stage])
+            depths = jnp.asarray(
+                [prefix + j + 1 for j in range(model_cfg.depths[stage])],
+                jnp.float32,
+            )
+            factors = decay ** (max_depth - depths)
+            return factors.reshape((-1,) + (1,) * (leaf.ndim - 1))
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(leaf_factor, params)
 
 
 def _scale_updates_per_leaf(factors) -> optax.GradientTransformation:
@@ -80,23 +112,14 @@ def setup_optimizers(
     params,
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
+    ensemble: bool = False,
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
-    labels = jax.tree_util.tree_map_with_path(
-        lambda path, _: _path_label(path, model_cfg), params
-    )
-    label_set = set(jax.tree.leaves(labels))
-
-    depth_of = lambda lbl: int(lbl.split("|")[1])
-    max_depth = max(
-        (depth_of(l) for l in label_set if l.startswith("conv_layer")), default=0
-    )
-
-    def factor(lbl: str) -> float:
-        if lbl.startswith("conv_layer"):
-            return train_cfg.layer_lr_decay ** (max_depth - depth_of(lbl))
-        return 1.0
-
-    factors = jax.tree.map(factor, labels)
+    """Build the update chain.  Pass ``ensemble=True`` when ``params`` carry a
+    leading population axis (the optimizer itself runs vmapped per member, so
+    the per-leaf factors are shaped for member leaves)."""
+    if ensemble:
+        params = jax.tree.map(lambda x: x[0], params)
+    factors = lr_decay_factors(params, model_cfg, train_cfg.layer_lr_decay)
 
     # The reference routes one AdamW-per-depth via optax.multi_transform
     # (train.py:721-726).  AdamW's update is linear in the learning rate for

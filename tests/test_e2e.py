@@ -71,7 +71,7 @@ def test_train_checkpoint_transcribe(dataset, tmp_path):
     rope = model_lib.make_rope(cfg.model)
     params, state = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
     params = shard_params(params, mesh)
-    tx, lr_schedule = setup_optimizers(params, cfg.model, cfg.train)
+    tx, lr_schedule = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
     opt_state = jax.vmap(tx.init)(params)
 
     manager = ckpt.create_checkpoint_manager(

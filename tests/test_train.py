@@ -58,7 +58,7 @@ def test_train_step_runs_sharded_and_loss_decreases():
     rope = model_lib.make_rope(cfg.model)
     params, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
     params = shard_params(params, mesh)
-    tx, _ = setup_optimizers(params, cfg.model, cfg.train)
+    tx, _ = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
     opt_state = jax.vmap(tx.init)(params)
 
     step = make_train_step(cfg, tx, rope, mesh=mesh, ensemble=True)
@@ -91,7 +91,7 @@ def test_grad_accumulation_consistency():
     )
     rope = model_lib.make_rope(cfg.model)
     params, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
-    tx, _ = setup_optimizers(params, cfg.model, cfg.train)
+    tx, _ = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
     opt_state = jax.vmap(tx.init)(params)
     step = make_train_step(cfg, tx, rope, mesh=None, ensemble=True)
 
@@ -126,7 +126,7 @@ def test_nan_grads_detected():
     cfg = small_config()
     rope = model_lib.make_rope(cfg.model)
     params, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
-    tx, _ = setup_optimizers(params, cfg.model, cfg.train)
+    tx, _ = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
     opt_state = jax.vmap(tx.init)(params)
     step = make_train_step(cfg, tx, rope, mesh=None, ensemble=True)
     audio, labels = _data()
@@ -140,20 +140,33 @@ def test_nan_grads_detected():
     assert not bool(out.grads_valid[0])
 
 
-def test_optimizer_depth_labels():
+def test_optimizer_depth_factors():
+    """Layer-wise LR decay: decay ** (max_depth - depth) with the reference's
+    Sequential depth counting (stem/downsample = prefix, block j = prefix+j+1)."""
     cfg = ModelConfig()  # full 7-stage config
     params, _ = model_lib.init(jax.random.PRNGKey(0), cfg)
-    labels = jax.tree_util.tree_map_with_path(
-        lambda p, _: optim._path_label(p, cfg), params
+    decay = 0.7
+    factors = optim.lr_decay_factors(params, cfg, decay)
+    max_depth = sum(cfg.depths)  # 39
+
+    # stem of stage 0 -> depth 0
+    np.testing.assert_allclose(
+        factors["cnn"]["stages"][0]["down"]["conv"]["w"], decay ** max_depth
     )
-    # stem of stage 0 -> depth 0; block 2 of stage 0 -> depth 3
-    assert labels["cnn"]["stages"][0]["down"]["conv"]["w"] == "conv_layer|0"
-    assert labels["cnn"]["stages"][0]["blocks"][2]["pw1"]["w"] == "conv_layer|3"
-    # stage 6 (prefix 36): down -> 36, block 2 -> 39 == sum(depths)
-    assert labels["cnn"]["stages"][6]["down"]["conv"]["w"] == "conv_layer|36"
-    assert labels["cnn"]["stages"][6]["blocks"][2]["gamma"] == "conv_layer|39"
-    assert labels["transformer"]["local"]["attention"]["q_up"]["w"] == "default|0"
-    assert labels["decoder"]["out"]["w"] == "default|0"
+    # stage 0 blocks (stacked leading axis): depths 1, 2, 3
+    f0 = np.asarray(factors["cnn"]["stages"][0]["blocks"]["pw1"]["w"]).ravel()
+    np.testing.assert_allclose(
+        f0, [decay ** (max_depth - d) for d in (1, 2, 3)], rtol=1e-6
+    )
+    # stage 6 (prefix 36): down -> 36; blocks -> 37, 38, 39 (last factor 1.0)
+    np.testing.assert_allclose(
+        factors["cnn"]["stages"][6]["down"]["conv"]["w"], decay ** 3
+    )
+    f6 = np.asarray(factors["cnn"]["stages"][6]["blocks"]["gamma"]).ravel()
+    np.testing.assert_allclose(f6, [decay**2, decay**1, 1.0], rtol=1e-6)
+    # non-CNN params: no decay
+    assert factors["transformer"]["local"]["attention"]["q_up"]["w"] == 1.0
+    assert factors["decoder"]["out"]["w"] == 1.0
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -71,7 +71,7 @@ def main():
     rope = model_lib.make_rope(cfg.model)
     params, state = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
     params = shard_params(params, mesh)
-    tx, _ = setup_optimizers(params, cfg.model, cfg.train)
+    tx, _ = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
     opt_state = jax.vmap(tx.init)(params)
 
     step_fn = make_train_step(cfg, tx, rope, mesh=mesh, ensemble=True)
