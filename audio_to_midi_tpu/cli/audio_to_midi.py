@@ -42,6 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="Checkpoint directory (default: ./audio_to_midi_checkpoints)",
     )
     parser.add_argument("--overlap", type=float, default=0.5)
+    parser.add_argument("--config", default=None, help="Config JSON file")
     return parser
 
 
@@ -49,12 +50,12 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
 
-    from ..config import DEFAULT_CONFIG
+    from ..config import load_config
     from ..infer import load_newest_checkpoint, predict_and_stitch, transcribe_file
     from ..models import model as model_lib
     from ..ops.midi_io import write_midi_file
 
-    cfg = DEFAULT_CONFIG
+    cfg = load_config(args.config)
     checkpoint_path = Path(
         args.checkpoint or Path.cwd() / cfg.infer.checkpoint_dir
     )
@@ -97,7 +98,10 @@ def main(argv=None) -> int:
         import matplotlib.pyplot as plt
 
         windows, window_duration = load_and_slice_full_audio(
-            audio_file, overlap=args.overlap
+            audio_file,
+            overlap=args.overlap,
+            sample_rate=cfg.data.sample_rate,
+            window_duration=cfg.data.model_audio_length,
         )
         individual_probs, stitched, dpf = predict_and_stitch(
             params, cfg, windows, window_duration, overlap=args.overlap

@@ -28,14 +28,15 @@ def main(argv=None) -> int:
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--overlap", type=float, default=0.25)
     parser.add_argument("--plot", action="store_true")
+    parser.add_argument("--config", default=None, help="Config JSON file")
     args = parser.parse_args(argv)
 
-    from ..config import DEFAULT_CONFIG
+    from ..config import load_config
     from ..infer import load_newest_checkpoint, transcribe_file
     from ..models import model as model_lib
     from ..ops.midi_io import write_midi_file
 
-    cfg = DEFAULT_CONFIG
+    cfg = load_config(args.config)
     checkpoint_path = Path(args.checkpoint or Path.cwd() / cfg.infer.checkpoint_dir)
     params, _state = load_newest_checkpoint(checkpoint_path, cfg)
 

@@ -30,6 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--precision", choices=["bf16", "f16", "f32"], default="bf16")
     p.add_argument("--no-tensorboard", action="store_true")
+    p.add_argument("--config", default=None, help="Config JSON file")
     return p
 
 
@@ -39,7 +40,7 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    from ..config import DEFAULT_CONFIG, PrecisionConfig
+    from ..config import PrecisionConfig, load_config
     from ..metrics import configure_tensorboard
     from ..models import model as model_lib
     from ..parallel.mesh import make_mesh, shard_params
@@ -50,7 +51,7 @@ def main(argv=None) -> int:
         setup_optimizers,
     )
 
-    cfg = DEFAULT_CONFIG
+    cfg = load_config(args.config)
     train_cfg = cfg.train
     overrides = {}
     if args.steps is not None:
@@ -65,12 +66,15 @@ def main(argv=None) -> int:
         overrides["base_learning_rate"] = args.learning_rate
     if overrides:
         train_cfg = dataclasses.replace(train_cfg, **overrides)
-    precision = {
-        "bf16": PrecisionConfig(compute_dtype=jnp.bfloat16),
-        "f16": PrecisionConfig(compute_dtype=jnp.float16),
-        "f32": PrecisionConfig(compute_dtype=jnp.float32),
-    }[args.precision]
-    cfg = dataclasses.replace(cfg, train=train_cfg, precision=precision)
+    if args.config is None:
+        precision = {
+            "bf16": PrecisionConfig(compute_dtype=jnp.bfloat16),
+            "f16": PrecisionConfig(compute_dtype=jnp.float16),
+            "f32": PrecisionConfig(compute_dtype=jnp.float32),
+        }[args.precision]
+        cfg = dataclasses.replace(cfg, train=train_cfg, precision=precision)
+    else:
+        cfg = dataclasses.replace(cfg, train=train_cfg)
 
     num_devices = len(jax.devices())
     logging.info(

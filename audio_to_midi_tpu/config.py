@@ -238,6 +238,69 @@ class Config:
 DEFAULT_CONFIG = Config()
 
 
+def _dataclass_to_dict(obj):
+    if dataclasses.is_dataclass(obj):
+        return {
+            f.name: _dataclass_to_dict(getattr(obj, f.name))
+            for f in dataclasses.fields(obj)
+        }
+    if isinstance(obj, (list, tuple)):
+        return list(obj)
+    if obj in (jnp.float32, jnp.bfloat16, jnp.float16):
+        return {jnp.float32: "f32", jnp.bfloat16: "bf16", jnp.float16: "f16"}[obj]
+    return obj
+
+
+_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}
+
+
+def config_to_json(cfg: Config) -> str:
+    import json
+
+    return json.dumps(_dataclass_to_dict(cfg), indent=2)
+
+
+def config_from_json(text: str) -> Config:
+    """Inverse of config_to_json; missing fields keep their defaults."""
+    import json
+
+    raw = json.loads(text)
+
+    def build(cls, data):
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in data:
+                continue
+            v = data[f.name]
+            if dataclasses.is_dataclass(f.type) or f.name in (
+                "model", "data", "precision", "train", "infer", "transforms",
+            ):
+                sub_cls = {
+                    "model": ModelConfig, "data": DataConfig,
+                    "precision": PrecisionConfig, "train": TrainConfig,
+                    "infer": InferConfig, "transforms": TransformSettings,
+                }.get(f.name)
+                kwargs[f.name] = build(sub_cls, v)
+            elif f.name in ("param_dtype", "compute_dtype"):
+                kwargs[f.name] = _DTYPES[v]
+            elif isinstance(v, list):
+                kwargs[f.name] = tuple(v)
+            else:
+                kwargs[f.name] = v
+        return cls(**kwargs)
+
+    return build(Config, raw)
+
+
+def load_config(path: str | None) -> Config:
+    """Config for an entry point: ``path`` (JSON) or the defaults."""
+    if path is None:
+        return DEFAULT_CONFIG
+    from pathlib import Path
+
+    return config_from_json(Path(path).read_text())
+
+
 def config_from_metadata(meta: dict[str, Any]) -> Config:
     """Rebuild a Config from checkpoint metadata (inverse of .metadata())."""
     m = meta.get("model", {})

@@ -131,11 +131,13 @@ def main(argv=None) -> int:
         "--format", choices=["stablehlo", "coreml", "tflite"], default="stablehlo"
     )
     parser.add_argument("--output", default=None)
+    parser.add_argument("--config", default=None, help="Config JSON file")
     args = parser.parse_args(argv)
 
+    from .config import load_config
     from .infer import load_newest_checkpoint
 
-    cfg = DEFAULT_CONFIG
+    cfg = load_config(args.config)
     params, _state = load_newest_checkpoint(
         args.checkpoint, cfg, model_replication=False
     )

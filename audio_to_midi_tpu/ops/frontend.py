@@ -87,6 +87,34 @@ def split_training_windows(
 
 
 # ---------------------------------------------------------------------------
+# Legacy spectrogram frontend (reference audio_to_midi_dataset.py:58-107).
+# The model consumes raw audio; this exists for tooling/visualization parity.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("window_size", "overlap"))
+def fft_audio(signal: jax.Array, window_size: int, overlap: float = 0.5) -> jax.Array:
+    """Spectrogram with the reference's exponential-decay window and manual
+    complex-abs (kept for coremltools compat) and /180 scaling."""
+    if window_size & (window_size - 1):
+        raise ValueError("window_size must be a power of 2")
+    hop = int(window_size * (1 - overlap))
+    sig = signal.reshape(1, -1, 1)
+    window = jnp.exp(jnp.arange(window_size) * (-0.001))
+    patches = jax.lax.conv_general_dilated_patches(
+        lhs=sig,
+        filter_shape=(window_size,),
+        window_strides=(hop,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    windows = patches.squeeze(0) * window
+    fft = jax.vmap(jnp.fft.rfft)(windows)
+    absolute = jnp.sqrt(jnp.square(jnp.real(fft)) + jnp.square(jnp.imag(fft)))
+    return jnp.transpose(absolute) / 180.0
+
+
+# ---------------------------------------------------------------------------
 # Polyphase resampling (FFmpeg -ar equivalent, on device)
 # ---------------------------------------------------------------------------
 
