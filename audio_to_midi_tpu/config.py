@@ -79,6 +79,11 @@ class ModelConfig:
     rope_max_positions: int = 300        # reference train.py:786
     rope_theta: float = 10_000.0
 
+    # "pallas": fused VMEM attention kernel (ops/pallas_attention.py) for
+    # dropout-free paths (inference/eval + the fwd of training via custom_vjp
+    # when dropout is off); "xla": einsum formulation everywhere.
+    attention_impl: str = "pallas"
+
     output_vocab: int = MIDI_EVENT_VOCAB_SIZE
 
     @property

@@ -29,9 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
+from ..ops.pallas_attention import fused_attention
 from . import nn
 from .nn import Params
-from .rope import RopeFreqs, apply_rope
+from .rope import RopeFreqs, apply_rope_halves, permute_qk_weight_for_rope
 
 
 # ---------------------------------------------------------------------------
@@ -44,10 +45,17 @@ def init_self_attention(key, cfg: ModelConfig, input_size: int | None = None) ->
     h, hd = cfg.num_transformer_heads, cfg.attention_size
     ckv = cfg.compressed_attention_kv_size
     k_q, k_kvd, k_ku, k_vu, k_out = jax.random.split(key, 5)
+    q_up = nn.init_linear(k_q, d, h * hd, use_bias=False)
+    k_up = nn.init_linear(k_ku, ckv, h * hd, use_bias=False)
+    # q/k weights are stored in RoPE "halves" layout (see rope.py) — the
+    # attention output is exactly invariant; the converter applies the same
+    # permutation when importing reference checkpoints.
+    q_up["w"] = permute_qk_weight_for_rope(q_up["w"], h)
+    k_up["w"] = permute_qk_weight_for_rope(k_up["w"], h)
     return {
-        "q_up": nn.init_linear(k_q, d, h * hd, use_bias=False),
+        "q_up": q_up,
         "kv_down": nn.init_linear(k_kvd, d, ckv, use_bias=False),
-        "k_up": nn.init_linear(k_ku, ckv, h * hd, use_bias=False),
+        "k_up": k_up,
         "v_up": nn.init_linear(k_vu, ckv, h * hd, use_bias=False),
         "out": nn.init_linear(k_out, h * hd, d, use_bias=False),
     }
@@ -67,10 +75,10 @@ def _qkv(x: jax.Array, p: Params, num_heads: int, rope: RopeFreqs):
     """
     *lead, s, _ = x.shape
     q = nn.linear(x, p["q_up"]).reshape(*lead, s, num_heads, -1)
-    q = apply_rope(q, rope)
+    q = apply_rope_halves(q, rope)
     ckv = nn.linear(x, p["kv_down"])
     k = nn.linear(ckv, p["k_up"]).reshape(*lead, s, num_heads, -1)
-    k = apply_rope(k, rope)
+    k = apply_rope_halves(k, rope)
     v = nn.linear(ckv, p["v_up"]).reshape(*lead, s, num_heads, -1)
     return q, k, v
 
@@ -83,14 +91,34 @@ def _attend(
     dropout_rate: float,
     key: jax.Array | None,
     enable_dropout: bool,
+    impl: str = "xla",
+    block: int = 0,
 ) -> jax.Array:
     """Multi-head attention core.  q,k,v: (..., S, H, hd) -> (..., S, H*hd).
 
     fp32 softmax, query pre-scaled by 1/sqrt(hd) (reference model.py:250-252).
+    ``impl="pallas"`` runs the fused VMEM kernel (ops/pallas_attention.py);
+    attention-weight dropout needs the materialized weights, so the dropout
+    path always uses XLA.  ``block`` > 0 applies the block-diagonal mask for
+    the flattened local-window formulation.
     """
+    if impl == "pallas" and not enable_dropout:
+        *lead, s, h, hd = q.shape
+        def to_kernel(x):
+            x = x.reshape(-1, s, h, hd)
+            return jnp.transpose(x, (0, 2, 1, 3))  # (G, H, S, hd)
+        out = fused_attention(to_kernel(q), to_kernel(k), to_kernel(v), block)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(*lead, s, h * hd)
+        return out
+
     hd = q.shape[-1]
     q = q / jnp.asarray(math.sqrt(hd), q.dtype)
     logits = jnp.einsum("...shd,...Shd->...hsS", q, k)
+    if block > 0:
+        s = q.shape[-3]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        logits = jnp.where(rows // block == cols // block, logits, -1e30)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
     weights = nn.dropout(weights, dropout_rate, key, enable_dropout)
     attn = jnp.einsum("...hsS,...Shd->...shd", weights, v)
@@ -114,6 +142,7 @@ def self_attention(
         dropout_rate=cfg.transformer_dropout_rate,
         key=key,
         enable_dropout=enable_dropout,
+        impl=cfg.attention_impl,
     )
     return nn.linear(attn, p["out"])
 
@@ -158,12 +187,24 @@ def local_self_attention(
     windows = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=2)
 
     q, k, v = _qkv(windows, p, cfg.num_transformer_heads, rope)
-    out_w = _attend(
-        q, k, v,
-        dropout_rate=cfg.transformer_dropout_rate,
-        key=key,
-        enable_dropout=enable_dropout,
-    )  # (B, num_windows, window, H*hd)
+    if cfg.attention_impl == "pallas" and not enable_dropout:
+        # Flatten the (windows, window) axes into one sequence and let the
+        # fused kernel's block-diagonal mask realize the per-window softmax:
+        # 31 tiny attentions become one MXU-shaped masked matmul.
+        heads, hd = q.shape[-2], q.shape[-1]
+        flat = lambda t: t.reshape(b, num_windows * window, heads, hd)
+        out_w = _attend(
+            flat(q), flat(k), flat(v),
+            dropout_rate=0.0, key=None, enable_dropout=False,
+            impl="pallas", block=window,
+        ).reshape(b, num_windows, window, heads * hd)
+    else:
+        out_w = _attend(
+            q, k, v,
+            dropout_rate=cfg.transformer_dropout_rate,
+            key=key,
+            enable_dropout=enable_dropout,
+        )  # (B, num_windows, window, H*hd)
     out_w = nn.linear(out_w, p["out"])  # (B, num_windows, window, D)
 
     # Overlap-average in padded coordinates (reference scatter at

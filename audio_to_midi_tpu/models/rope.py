@@ -30,6 +30,54 @@ def precompute_frequencies(dim: int, max_pos: int, theta: float = 10_000.0) -> R
     return RopeFreqs(cos=jnp.cos(freqs), sin=jnp.sin(freqs))
 
 
+def rope_permutation(head_dim: int):
+    """Column permutation mapping interleaved rotation pairs to halves.
+
+    The reference rotates interleaved channel pairs (2j, 2j+1) (rope.py:44-52).
+    Strided even/odd slicing forces lane relayouts on TPU, so we instead store
+    the q/k up-projection weights with their per-head output channels
+    permuted as [0, 2, 4, ..., 1, 3, 5, ...] and rotate contiguous halves
+    (:func:`apply_rope_halves`).  Because q and k are permuted identically and
+    attention only consumes q·k dot products, the attention output is exactly
+    invariant (the fp reduction order of the dot is the only difference).
+    """
+    import numpy as np
+
+    half = head_dim // 2
+    perm = np.empty((head_dim,), np.int64)
+    perm[:half] = np.arange(half) * 2
+    perm[half:] = np.arange(half) * 2 + 1
+    return perm
+
+
+def permute_qk_weight_for_rope(w, num_heads: int):
+    """Permute a (in, H*hd) q/k up-projection weight into halves layout."""
+    import numpy as np
+
+    in_dim, out = w.shape
+    hd = out // num_heads
+    perm = rope_permutation(hd)
+    w = w.reshape(in_dim, num_heads, hd)
+    return w[..., perm].reshape(in_dim, out)
+
+
+def apply_rope_halves(x: jax.Array, rope: RopeFreqs) -> jax.Array:
+    """RoPE for halves-layout channels: x1 = first half, x2 = second half.
+
+    Equivalent to :func:`apply_rope` on interleaved channels after
+    :func:`permute_qk_weight_for_rope` — contiguous slices, no lane shuffles.
+    x: (..., seq, heads, head_dim).
+    """
+    seq_len = x.shape[-3]
+    cos = rope.cos[:seq_len][:, None, :]
+    sin = rope.sin[:seq_len][:, None, :]
+    half = x.shape[-1] // 2
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
 def apply_rope(x: jax.Array, rope: RopeFreqs) -> jax.Array:
     """Rotate channel pairs of ``x``.
 

@@ -1,0 +1,119 @@
+"""Fused multi-head attention as a Pallas TPU kernel.
+
+One kernel invocation per (group, head) computes the whole attention core in
+VMEM — scaled logits (MXU, fp32 accumulation), length/block masking, fp32
+softmax, weighted sum — replacing the XLA path's chain of einsum/cast/softmax
+ops and their HBM round-trips.
+
+Two callers (see models/attention.py):
+  * global attention: groups = batch, S = 250 padded to 256, length mask;
+  * local windowed attention: the (windows, window) axes flatten into one
+    sequence of W*16 rows with a BLOCK-DIAGONAL mask (block = window size), so
+    all 31 overlapping windows of a sample run as one MXU-shaped matmul
+    instead of 31 tiny ones — arithmetically identical to per-window softmax
+    because masked logits are -inf outside each block.
+
+The backward pass is delegated to the XLA formulation via ``jax.custom_vjp``
+(rematerializing q/k/v), so training through this kernel is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_INTERPRET_PLATFORMS = ("cpu",)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() in _INTERPRET_PLATFORMS
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, block: int):
+    """q/k/v refs: (1, 1, S, hd) VMEM blocks; o: same."""
+    s, hd = q_ref.shape[-2], q_ref.shape[-1]
+    q = q_ref[0, 0].astype(jnp.float32) * (1.0 / math.sqrt(hd))
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (S, S)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    mask = cols < valid_len
+    if block > 0:
+        mask = mask & (rows // block == cols // block)
+    logits = jnp.where(mask, logits, -1e30)
+
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jax.lax.dot_general(
+        weights, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fused_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array, block: int):
+    """q/k/v: (G, H, S, hd) -> (G, H, S, hd)."""
+    g, h, s, hd = q.shape
+    s_pad = _round_up(s, 128)
+    if s_pad != s:
+        pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    spec = pl.BlockSpec(
+        (1, 1, s_pad, hd), lambda i, j: (i, j, 0, 0)
+    )
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, valid_len=s, block=block),
+        out_shape=jax.ShapeDtypeStruct((g, h, s_pad, hd), q.dtype),
+        grid=(g, h),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(q, k, v)
+    return out[:, :, :s, :]
+
+
+def _xla_reference(q, k, v, block: int):
+    """XLA formulation with identical masking (backward + fallback path)."""
+    hd = q.shape[-1]
+    s = q.shape[-2]
+    qs = q.astype(jnp.float32) / math.sqrt(hd)
+    logits = jnp.einsum("ghsd,ghSd->ghsS", qs, k.astype(jnp.float32))
+    if block > 0:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        logits = jnp.where(rows // block == cols // block, logits, -1e30)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("ghsS,ghSd->ghsd", weights, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention(q, k, v, block: int = 0):
+    """Fused attention over (G, H, S, hd); ``block`` > 0 applies a
+    block-diagonal mask (local windowed attention)."""
+    return _fused_attention_impl(q, k, v, block)
+
+
+def _fwd(q, k, v, block):
+    return _fused_attention_impl(q, k, v, block), (q, k, v)
+
+
+def _bwd(block, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q, k, v: _xla_reference(q, k, v, block), q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fwd, _bwd)

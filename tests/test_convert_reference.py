@@ -54,11 +54,24 @@ def _sw(x):
     return np.swapaxes(np.asarray(x), -1, -2)  # stacked (L, in, out) -> (L, out, in)
 
 
+def _unpermute_rope(w, num_heads):
+    """Our halves layout -> the reference's interleaved layout (inverse of
+    rope.permute_qk_weight_for_rope).  w: (..., in, H*hd)."""
+    from audio_to_midi_tpu.models.rope import rope_permutation
+
+    hd = w.shape[-1] // num_heads
+    perm = rope_permutation(hd)
+    inverse = np.argsort(perm)
+    shaped = np.asarray(w).reshape(*w.shape[:-1], num_heads, hd)
+    return shaped[..., inverse].reshape(w.shape)
+
+
 def _to_ref_attention(p):
+    h = CFG.num_transformer_heads
     return {
-        "query_up_proj": {"weight": _sw(p["q_up"]["w"])},
+        "query_up_proj": {"weight": _sw(_unpermute_rope(p["q_up"]["w"], h))},
         "kv_down_proj": {"weight": _sw(p["kv_down"]["w"])},
-        "key_up_proj": {"weight": _sw(p["k_up"]["w"])},
+        "key_up_proj": {"weight": _sw(_unpermute_rope(p["k_up"]["w"], h))},
         "value_up_proj": {"weight": _sw(p["v_up"]["w"])},
         "output_proj": {"weight": _sw(p["out"]["w"])},
     }

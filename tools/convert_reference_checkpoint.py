@@ -105,23 +105,42 @@ def _linear_stacked(node, bias: bool = True):
     return out
 
 
-def _attention(node):
+def _rope_halves_permute(w, num_heads: int):
+    """Interleaved RoPE channel layout -> our halves layout (rope.py:
+    permute_qk_weight_for_rope).  w: (..., in, H*hd)."""
+    from audio_to_midi_tpu.models.rope import rope_permutation
+
+    hd = w.shape[-1] // num_heads
+    perm = rope_permutation(hd)
+    shaped = w.reshape(*w.shape[:-1], num_heads, hd)
+    return shaped[..., perm].reshape(w.shape)
+
+
+def _attention(node, num_heads: int):
     return {
-        "q_up": {"w": _linear_w_stacked(_get(node, "query_up_proj", "weight"))},
+        "q_up": {
+            "w": _rope_halves_permute(
+                _linear_w_stacked(_get(node, "query_up_proj", "weight")), num_heads
+            )
+        },
         "kv_down": {"w": _linear_w_stacked(_get(node, "kv_down_proj", "weight"))},
-        "k_up": {"w": _linear_w_stacked(_get(node, "key_up_proj", "weight"))},
+        "k_up": {
+            "w": _rope_halves_permute(
+                _linear_w_stacked(_get(node, "key_up_proj", "weight")), num_heads
+            )
+        },
         "v_up": {"w": _linear_w_stacked(_get(node, "value_up_proj", "weight"))},
         "out": {"w": _linear_w_stacked(_get(node, "output_proj", "weight"))},
     }
 
 
-def _transformer_layer(node, local: bool):
+def _transformer_layer(node, local: bool, num_heads: int):
     attn = _get(node, "attention_block")
     if local:
         attn = _get(attn, "self_attention")
     return {
         "attention_norm": _ln(_get(node, "attention_norm")),
-        "attention": _attention(attn),
+        "attention": _attention(attn, num_heads),
         "ff_norm": _ln(_get(node, "feed_forward_norm")),
         "ff": {
             "in_proj": _linear_stacked(_get(node, "feed_forward_block", "attention_to_intermediate_proj")),
@@ -156,9 +175,14 @@ def convert_reference_tree(ref, model_cfg: ModelConfig):
         stages.append({"down": down, "blocks": stacked})
 
     transformer_layers = _get(ref, "transformer", "layers")
+    nh = model_cfg.num_transformer_heads
     transformer = {
-        "local": _transformer_layer(_get(transformer_layers, "local_attention"), local=True),
-        "global": _transformer_layer(_get(transformer_layers, "global_attention"), local=False),
+        "local": _transformer_layer(
+            _get(transformer_layers, "local_attention"), local=True, num_heads=nh
+        ),
+        "global": _transformer_layer(
+            _get(transformer_layers, "global_attention"), local=False, num_heads=nh
+        ),
     }
 
     decoder = {
