@@ -79,10 +79,12 @@ class ModelConfig:
     rope_max_positions: int = 300        # reference train.py:786
     rope_theta: float = 10_000.0
 
-    # "pallas": fused VMEM attention kernel (ops/pallas_attention.py) for
-    # dropout-free paths (inference/eval + the fwd of training via custom_vjp
-    # when dropout is off); "xla": einsum formulation everywhere.
-    attention_impl: str = "pallas"
+    # "xla": einsum attention (XLA fuses the softmax chain; fastest at this
+    # model's S=250/window=16 shapes — measured on v5e).  "pallas": the fused
+    # VMEM kernel (ops/pallas_attention.py) for dropout-free paths — kept as
+    # a tested, differentiable alternative; per-cell overheads outweigh the
+    # fusion win at these sizes.
+    attention_impl: str = "xla"
 
     output_vocab: int = MIDI_EVENT_VOCAB_SIZE
 

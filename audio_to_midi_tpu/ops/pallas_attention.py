@@ -33,33 +33,45 @@ def _interpret() -> bool:
     return jax.default_backend() in _INTERPRET_PLATFORMS
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, block: int):
-    """q/k/v refs: (1, 1, S, hd) VMEM blocks; o: same."""
-    s, hd = q_ref.shape[-2], q_ref.shape[-1]
-    q = q_ref[0, 0].astype(jnp.float32) * (1.0 / math.sqrt(hd))
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+def _attention_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, valid_len: int, seg: int, block: int
+):
+    """q/k/v refs: (1, h_per, seg, hd) VMEM blocks; o: same.
+
+    The h_per head segments are flattened into one (h_per*seg, hd) row axis
+    and isolated from each other by the same block-diagonal masking that
+    implements per-window attention (block divides seg, so windows never
+    cross a head boundary) — one MXU-shaped matmul instead of many small
+    ones.  Dots keep their native (bf16) input dtype with fp32 accumulation —
+    an fp32-input dot would run at a fraction of MXU throughput.
+    """
+    _, h_per, s, hd = q_ref.shape
+    n = h_per * s
+    q = q_ref[0].reshape(n, hd) * jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
+    k = k_ref[0].reshape(n, hd)
+    v = v_ref[0].reshape(n, hd)
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (S, S)
+    )  # (n, n) fp32
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    mask = cols < valid_len
-    if block > 0:
-        mask = mask & (rows // block == cols // block)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    mask = (rows // block == cols // block) & (cols % seg < valid_len)
     logits = jnp.where(mask, logits, -1e30)
 
-    weights = jax.nn.softmax(logits, axis=-1)
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jax.lax.dot_general(
         weights, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    o_ref[0] = out.reshape(h_per, s, hd).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+_LOGITS_VMEM_BUDGET = 6 * 1024 * 1024  # fp32 logits tile cap per kernel cell
 
 
 def _fused_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array, block: int):
@@ -70,13 +82,24 @@ def _fused_attention_impl(q: jax.Array, k: jax.Array, v: jax.Array, block: int):
         pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
 
-    spec = pl.BlockSpec(
-        (1, 1, s_pad, hd), lambda i, j: (i, j, 0, 0)
-    )
+    # Pack as many heads per cell as the fp32 logits tile allows.
+    h_per = h
+    while h_per > 1 and (
+        (h_per * s_pad) ** 2 * 4 > _LOGITS_VMEM_BUDGET or h % h_per != 0
+    ):
+        h_per -= 1
+
+    # block == 0 (global attention) degenerates to per-head-segment blocks.
+    eff_block = block if block > 0 else s_pad
+    assert s_pad % eff_block == 0, (s_pad, eff_block)
+
+    spec = pl.BlockSpec((1, h_per, s_pad, hd), lambda i, j: (i, j, 0, 0))
     out = pl.pallas_call(
-        functools.partial(_attention_kernel, valid_len=s, block=block),
+        functools.partial(
+            _attention_kernel, valid_len=s, seg=s_pad, block=eff_block
+        ),
         out_shape=jax.ShapeDtypeStruct((g, h, s_pad, hd), q.dtype),
-        grid=(g, h),
+        grid=(g, h // h_per),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         interpret=_interpret(),
