@@ -1,5 +1,6 @@
 from . import audio_io, augment, labels, loader, synthetic
 from .loader import (
+    AudioToMidiDatasetLoader,
     ThreadedBatchLoader,
     create_dataset_loader,
     load_and_slice_full_audio,
@@ -16,6 +17,7 @@ __all__ = [
     "labels",
     "loader",
     "synthetic",
+    "AudioToMidiDatasetLoader",
     "ThreadedBatchLoader",
     "create_dataset_loader",
     "load_and_slice_full_audio",

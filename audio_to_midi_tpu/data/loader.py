@@ -247,6 +247,79 @@ def load_and_slice_full_audio(
     return np.stack(windows), window_duration
 
 
+class AudioToMidiDatasetLoader:
+    """Reference-compatible class surface (audio_to_midi_dataset.py:110-353).
+
+    Classmethods mirror the reference API exactly; iteration is provided by
+    :class:`ThreadedBatchLoader` (constructed the same way, minus the
+    busy-wait).
+    """
+
+    SAMPLE_RATE = SAMPLE_RATE
+
+    def __init__(
+        self,
+        num_model_output_frames: int,
+        dataset_dir,
+        batch_size: int,
+        prefetch_count: int = 4,
+        key=None,
+        num_workers: int = 1,
+        epochs: int | None = None,
+        transform_settings: Optional[TransformSettings] = None,
+    ):
+        seed = 0xBEEF if key is None else int(np.asarray(key).sum()) & 0x7FFFFFFF
+        self._loader = ThreadedBatchLoader(
+            dataset_dir,
+            batch_size,
+            num_model_output_frames,
+            transform_settings,
+            num_workers=num_workers,
+            prefetch=prefetch_count,
+            epochs=epochs,
+            seed=seed,
+        )
+
+    def __iter__(self):
+        for events, audio in self._loader:
+            yield {"audio": audio, "events": events}
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._loader.close()
+
+    @classmethod
+    def load_samples(
+        cls, dataset_dir, num_model_output_frames, samples, sample_rate,
+        audio_duration, skip_cache: bool = False,
+    ):
+        return load_samples(
+            dataset_dir, num_model_output_frames, samples, sample_rate,
+            audio_duration, skip_cache,
+        )
+
+    @classmethod
+    def load_samples_with_transformations(
+        cls, dataset_dir, num_model_output_frames, samples, sample_rate,
+        audio_duration, transform_settings, skip_cache: bool = False,
+    ):
+        audio, events, names = load_events_and_audio_with_transformations(
+            dataset_dir, samples, sample_rate, audio_duration,
+            num_model_output_frames, transform_settings, skip_cache,
+        )
+        return np.stack(events), np.stack(audio), names
+
+    @classmethod
+    def load_and_slice_full_audio(cls, filename, overlap: float = 0.25):
+        return load_and_slice_full_audio(filename, overlap)
+
+    @classmethod
+    def load_sample_names(cls, dataset_dir):
+        return load_sample_names(dataset_dir)
+
+
 class ThreadedBatchLoader:
     """Lightweight shuffling batch loader with a bounded prefetch queue.
 
