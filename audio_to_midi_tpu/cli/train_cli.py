@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", choices=["bf16", "f16", "f32"], default="bf16")
     p.add_argument("--no-tensorboard", action="store_true")
     p.add_argument("--config", default=None, help="Config JSON file")
+    # Multi-host (DCN) bring-up: pass all three on every host.
+    p.add_argument("--coordinator-address", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -41,6 +45,11 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from ..config import PrecisionConfig, load_config
+    from ..parallel.mesh import initialize_multihost
+
+    initialize_multihost(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
     from ..metrics import configure_tensorboard
     from ..models import model as model_lib
     from ..parallel.mesh import make_mesh, shard_params

@@ -67,7 +67,8 @@ def forward(
 ) -> tuple[jax.Array, jax.Array]:
     """Batched forward.  audio: (B, 2, num_samples) -> (B, frames, 90) x2.
 
-    Returns (logits, probs).
+    Returns (logits, probs).  Stages carry ``jax.named_scope`` annotations so
+    HLO dumps and profiler traces read by component (SURVEY §5).
     """
     if key is not None:
         cnn_key, transformer_key = jax.random.split(key)
@@ -75,12 +76,15 @@ def forward(
         cnn_key = transformer_key = None
 
     x = jnp.transpose(audio, (0, 2, 1))  # (B, L, 2): NWC for the TPU conv path
-    h = cnn_forward(x, params["cnn"], cfg, key=cnn_key, enable_dropout=enable_dropout)
-    h = transformer_stack(
-        h, params["transformer"], rope, cfg,
-        key=transformer_key, enable_dropout=enable_dropout,
-    )
-    return decoder(h, params["decoder"])
+    with jax.named_scope("a2m.cnn"):
+        h = cnn_forward(x, params["cnn"], cfg, key=cnn_key, enable_dropout=enable_dropout)
+    with jax.named_scope("a2m.transformer"):
+        h = transformer_stack(
+            h, params["transformer"], rope, cfg,
+            key=transformer_key, enable_dropout=enable_dropout,
+        )
+    with jax.named_scope("a2m.decoder"):
+        return decoder(h, params["decoder"])
 
 
 def predict(
@@ -92,6 +96,17 @@ def predict(
     """Single-sample inference.  samples: (2, num_samples) -> (frames, 90) x2."""
     logits, probs = forward(params, cfg, samples[None], rope)
     return logits[0], probs[0]
+
+
+def compute_model_output_frames(params: Params, cfg: ModelConfig, num_samples: int) -> int:
+    """Dynamic output-frame probe: run a dummy zeros window through the model
+    and read the frame count off the logits (reference train.py:64-73).
+    ``ModelConfig.output_frames(num_samples)`` computes the same number
+    statically; this exists for parity/verification."""
+    rope = make_rope(cfg)
+    samples = jnp.zeros((1, 2, num_samples), jnp.float32)
+    logits, _ = forward(params, cfg, samples, rope)
+    return int(logits.shape[1])
 
 
 def init_ensemble(key: jax.Array, cfg: ModelConfig, ensemble_size: int) -> tuple[Params, State]:

@@ -107,9 +107,7 @@ def extract_events_dense(probs: jax.Array):
         dur = jnp.maximum(dur, 1)
 
         new_active = (active & jnp.logical_not(deactivate)) | attack_new
-        new_started = jnp.where(
-            reactivate | attack_new, jnp.full_like(started, 0) + frame, started
-        )
+        new_started = jnp.where(reactivate | attack_new, frame, started)
 
         return (new_active, new_started), (fired, started, dur)
 

@@ -115,8 +115,9 @@ def train(
                     step, grad_scale, new_scale,
                 )
                 grad_scale = new_scale
-                params = shard_params(recovery[0], mesh)
-                opt_state = shard_params(recovery[1], mesh)
+                ens = cfg.train.ensemble_size > 1
+                params = shard_params(recovery[0], mesh, ensemble=ens)
+                opt_state = shard_params(recovery[1], mesh, ensemble=ens)
                 continue
             if np.all(np.asarray(out.scaled_loss) < cfg.train.loss_scale_increase_threshold):
                 grad_scale = grad_scale * 2

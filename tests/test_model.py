@@ -44,6 +44,11 @@ def test_default_model_geometry_and_param_count():
     assert cfg.total_downsample == 320
 
 
+def test_output_frame_probe_matches_static():
+    params, _ = model.init(jax.random.PRNGKey(0), SMALL)
+    assert model.compute_model_output_frames(params, SMALL, 100) == SMALL.output_frames(100)
+
+
 def test_default_forward_output_shape():
     cfg = ModelConfig()
     params, _ = model.init(jax.random.PRNGKey(0), cfg)
