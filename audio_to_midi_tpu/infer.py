@@ -109,8 +109,15 @@ def transcribe_file(
     input_file: str | Path,
     overlap: float = 0.5,
     rope: Optional[RopeFreqs] = None,
+    max_windows_per_batch: int = 128,
 ):
-    """File -> (stitched probs, duration_per_frame, events)."""
+    """File -> (stitched probs, duration_per_frame, events).
+
+    Short files run the fully-fused model+stitch program; long files stream
+    their windows through the model in fixed-size batches (one compiled shape,
+    last batch padded) and stitch once at the end — bounded memory and the
+    batch size that benchmarks fastest on v5e.
+    """
     from .data.loader import load_and_slice_full_audio
     from .ops.eventize import extract_events
 
@@ -121,11 +128,31 @@ def transcribe_file(
         window_duration=cfg.data.model_audio_length,
     )
     rope = rope if rope is not None else model_lib.make_rope(cfg.model)
-    stitched = np.asarray(
-        predict_and_stitch_fused(
-            params, cfg.model, jnp.asarray(windows), rope, window_duration, overlap
+    num_windows = windows.shape[0]
+
+    if num_windows <= max_windows_per_batch:
+        stitched = np.asarray(
+            predict_and_stitch_fused(
+                params, cfg.model, jnp.asarray(windows), rope, window_duration, overlap
+            )
         )
-    )
+    else:
+        chunks = []
+        for lo in range(0, num_windows, max_windows_per_batch):
+            chunk = windows[lo : lo + max_windows_per_batch]
+            take = chunk.shape[0]
+            if take < max_windows_per_batch:  # pad to the compiled shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros((max_windows_per_batch - take, *chunk.shape[1:]), chunk.dtype)]
+                )
+            probs = _predict_windows(params, cfg.model, jnp.asarray(chunk), rope)
+            chunks.append(np.asarray(probs[:take], np.float32))
+        all_probs = np.concatenate(chunks)
+        duration_per_frame = window_duration / all_probs.shape[1]
+        stitched = np.asarray(
+            stitch_probs(jnp.asarray(all_probs), overlap, duration_per_frame)
+        )
+
     duration_per_frame = window_duration / cfg.model.output_frames(
         int(window_duration * cfg.data.sample_rate)
     )

@@ -78,8 +78,12 @@ def bench_forward(batch_size: int = 32, iters: int = 20, warmup: int = 2) -> flo
 
 
 def main() -> int:
-    devices = jax.devices()
-    log(f"devices: {devices}")
+    try:
+        devices = jax.devices()
+        log(f"devices: {devices}")
+    except Exception as e:
+        log(f"no devices: {e}")
+        devices = []
 
     best = 0.0
     for batch_size in (64, 128, 256):

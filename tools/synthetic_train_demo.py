@@ -44,9 +44,12 @@ def main():
     p.add_argument("--lr", type=float, default=4e-4)
     p.add_argument("--workdir", default=None)
     args = p.parse_args()
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)  # jax grabs root first
 
     work = Path(args.workdir or tempfile.mkdtemp(prefix="a2m_demo_"))
+    import os
+
+    os.environ.setdefault("SAMPLE_CACHE_DIR", str(work / "cache"))
     train_dir, val_dir = work / "train", work / "val"
     synthetic.make_synthetic_dataset(
         train_dir, num_samples=args.train_samples, duration_s=5.0,
