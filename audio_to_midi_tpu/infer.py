@@ -103,6 +103,42 @@ def predict_and_stitch_fused(
     return stitch_probs(probs, overlap, duration_per_frame)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "src_rate", "overlap", "window_duration"),
+)
+def transcribe_samples_fused(
+    params,
+    cfg,
+    samples: jax.Array,
+    rope: RopeFreqs,
+    src_rate: int,
+    window_duration: float,
+    overlap: float,
+):
+    """Raw in-memory audio -> stitched probabilities, ONE XLA program:
+    resample -> normalize -> window -> model -> crossfade stitch.  This is the
+    whole serving pipeline fused (BASELINE config #3); `cfg` here is a full
+    Config (static)."""
+    from .ops.frontend import prepare_windows
+
+    dst_rate = cfg.data.sample_rate
+    window_size = round(window_duration * dst_rate)
+    overlap_samples = round(overlap * dst_rate)
+    windows = prepare_windows(
+        samples, src_rate, dst_rate, window_size, overlap_samples
+    )
+    compute = cfg.precision.compute_dtype
+    return predict_and_stitch_fused(
+        model_lib.cast_params(params, compute),
+        cfg.model,
+        windows.astype(compute),
+        rope,
+        window_duration,
+        overlap,
+    )
+
+
 def transcribe_file(
     params,
     cfg: Config,

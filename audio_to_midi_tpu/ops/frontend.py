@@ -86,6 +86,47 @@ def split_training_windows(
     return out, keep, backing
 
 
+def make_windows(
+    samples: jax.Array, window_size: int, overlap_samples: int
+) -> jax.Array:
+    """Static-shape window extraction for jit pipelines.
+
+    samples: (2, N) -> (W, 2, window_size) where W is derived from the static
+    N.  Same geometry as :func:`slice_full_audio` but expressed as one gather
+    so it fuses into a larger program.
+    """
+    step = window_size - overlap_samples
+    n = samples.shape[1]
+    n_windows = max(1, math.ceil((n - overlap_samples) / step))
+    pad_to = (n_windows - 1) * step + window_size
+    padded = jnp.pad(samples, ((0, 0), (0, max(0, pad_to - n))))
+    starts = jnp.arange(n_windows) * step
+    idx = starts[:, None] + jnp.arange(window_size)[None, :]  # (W, win)
+    return jnp.transpose(padded[:, idx], (1, 0, 2))  # (W, 2, win)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("src_rate", "dst_rate", "window_size", "overlap_samples"),
+)
+def prepare_windows(
+    samples: jax.Array,
+    src_rate: int,
+    dst_rate: int,
+    window_size: int,
+    overlap_samples: int,
+) -> jax.Array:
+    """Fused audio frontend: polyphase resample -> loudness normalization ->
+    overlapping model windows, one XLA program.  Replaces the reference's
+    host-side FFmpeg resample + Rust normalize + python windowing for audio
+    that is already in memory.  (2, N) -> (W, 2, window_size)."""
+    x = samples.astype(jnp.float32)
+    if src_rate != dst_rate:
+        x = resample_poly(x, dst_rate, src_rate)
+    x = normalize_loudness(x)
+    return make_windows(x, window_size, overlap_samples)
+
+
 # ---------------------------------------------------------------------------
 # Legacy spectrogram frontend (reference audio_to_midi_dataset.py:58-107).
 # The model consumes raw audio; this exists for tooling/visualization parity.

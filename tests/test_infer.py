@@ -31,6 +31,37 @@ def test_fused_matches_unfused():
     np.testing.assert_allclose(stitched_a, stitched_b, rtol=1e-5, atol=1e-6)
 
 
+def test_transcribe_samples_fused_matches_host_pipeline(tmp_path):
+    """The single-program frontend+model+stitch must match the host path."""
+    import dataclasses
+
+    from audio_to_midi_tpu.config import PrecisionConfig
+
+    cfg = dataclasses.replace(CFG, precision=PrecisionConfig(compute_dtype=jnp.float32))
+    events = synthetic.random_events(1.5, 4, seed=7)
+    audio = synthetic.synth_performance(events, 1.5, cfg.data.sample_rate)
+    f = tmp_path / "x.wav"
+    audio_io.write_wav(f, audio, cfg.data.sample_rate)
+
+    params, _ = model_lib.init(jax.random.PRNGKey(0), cfg.model)
+    rope = model_lib.make_rope(cfg.model)
+
+    # host path: decode (incl. 16-bit PCM round trip) + normalize + window
+    stitched_host, _, _ = infer.transcribe_file(params, cfg, f, overlap=0.1)
+
+    # fused path from the same decoded-but-unnormalized samples
+    raw = audio_io.decode_audio(f, cfg.data.sample_rate)
+    stitched_fused = np.asarray(
+        infer.transcribe_samples_fused(
+            params, cfg, jnp.asarray(raw), rope,
+            src_rate=cfg.data.sample_rate,
+            window_duration=cfg.data.model_audio_length,
+            overlap=0.1,
+        )
+    )
+    np.testing.assert_allclose(stitched_host, stitched_fused, rtol=1e-4, atol=1e-5)
+
+
 def test_transcribe_long_file_chunked(tmp_path):
     """A file long enough to need several window batches streams correctly:
     the chunked path must agree with the single-batch fused path."""
