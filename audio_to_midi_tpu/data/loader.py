@@ -107,14 +107,16 @@ def load_audio_sample(
         tmp = cache.with_suffix(".tmp.npy")
         np.save(tmp, samples.astype(np.float16))
         tmp.replace(cache)
-        # cache rounds through f16 like the reference; return the same values
-        return samples.astype(np.float16).astype(np.float32)
-    return samples
+    # The reference's decode always returns f16 samples (python.rs:236-264
+    # Vec<f16>), cached or not — round-trip to match its values exactly.
+    return samples.astype(np.float16).astype(np.float32)
 
 
 def load_full_audio(file: str | Path, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
-    """modelutil.load_full_audio parity (python.rs:373-394): no cache read."""
-    return normalize_loudness_np(decode_audio(str(file), sample_rate))
+    """modelutil.load_full_audio parity (python.rs:373-394): no cache read;
+    values round through f16 as the reference's decode does."""
+    samples = normalize_loudness_np(decode_audio(str(file), sample_rate))
+    return samples.astype(np.float16).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -427,6 +427,12 @@ extern "C" int a2m_load_audio_sample(const char *path, int sample_rate,
   if (rc != 0) return rc;
   a2m_normalize_loudness(*out, *out_len);
 
+  if (!cpath) {
+    /* Reference decode always rounds through f16 (python.rs:236-264). */
+    for (int64_t i = 0; i < 2 * (*out_len); ++i)
+      (*out)[i] = f16_to_f32(f32_to_f16((*out)[i]));
+  }
+
   if (cpath) {
     std::error_code ec;
     fs::create_directories(cpath->parent_path(), ec);
