@@ -123,26 +123,39 @@ def extract_events_dense(probs: jax.Array):
     return fired, attack, duration, final_active, final_started
 
 
-def extract_events(probs) -> list[tuple[int, int, int, int]]:
+def extract_events(
+    probs, real_velocity: bool = False
+) -> list[tuple[int, int, int, int]]:
     """Frame probabilities -> sorted (attack, key, duration, velocity) list.
 
     Host-facing wrapper matching the reference's ``modelutil.extract_events``
-    (python.rs:971-978).
+    (python.rs:971-978).  The reference hard-codes velocity 7 (common.rs:63-66
+    TODO) — preserved by default.  ``real_velocity=True`` derives the velocity
+    category from the note's peak activation probability instead (our
+    extension of the reference's TODO): round(10 * max p over the note span),
+    clipped to [1, 10].
     """
     probs = jnp.asarray(probs)
     num_frames = probs.shape[0]
     fired, attack, duration, final_active, final_started = jax.tree.map(
         np.asarray, extract_events_dense(probs)
     )
+    probs_np = np.asarray(probs, np.float32)
+
+    def velocity(a: int, d: int, k: int) -> int:
+        if not real_velocity:
+            return FIXED_VELOCITY
+        peak = float(probs_np[a : a + d, k].max()) if d > 0 else 0.0
+        return int(np.clip(round(peak * 10), 1, 10))
 
     events = []
     emission_frames, keys = np.nonzero(fired)
     for ef, k in zip(emission_frames, keys):
-        events.append(
-            (int(attack[ef, k]), int(k), int(duration[ef, k]), FIXED_VELOCITY)
-        )
+        a, d = int(attack[ef, k]), int(duration[ef, k])
+        events.append((a, int(k), d, velocity(a, d, k)))
     for k in np.nonzero(final_active)[0]:
         s = int(final_started[k])
-        events.append((s, int(k), max(num_frames - s, 1), FIXED_VELOCITY))
+        d = max(num_frames - s, 1)
+        events.append((s, int(k), d, velocity(s, d, k)))
     events.sort()
     return events

@@ -40,6 +40,16 @@ def test_extract_events_trailing_note_closed():
     assert events == [(10, 1, 10, 7)]
 
 
+def test_extract_events_real_velocity_flag():
+    probs = np.zeros((30, 2), np.float32)
+    probs[5:15, 0] = 0.62
+    probs[5, 0] = 0.93  # peak at the attack
+    default = eventize.extract_events(probs)
+    assert default == [(5, 0, 10, 7)]  # reference: velocity fixed at 7
+    real = eventize.extract_events(probs, real_velocity=True)
+    assert real == [(5, 0, 10, 9)]  # round(0.93 * 10)
+
+
 def test_extract_events_simple_release():
     probs = np.zeros((30, 2), np.float32)
     probs[5:15, 0] = 0.8
