@@ -79,12 +79,13 @@ class ModelConfig:
     rope_max_positions: int = 300        # reference train.py:786
     rope_theta: float = 10_000.0
 
-    # "xla": einsum attention (XLA fuses the softmax chain; fastest at this
-    # model's S=250/window=16 shapes — measured on v5e).  "pallas": the fused
-    # VMEM kernel (ops/pallas_attention.py) for dropout-free paths — kept as
-    # a tested, differentiable alternative; per-cell overheads outweigh the
-    # fusion win at these sizes.
-    attention_impl: str = "xla"
+    # "pallas": the fused natural-layout VMEM attention kernel
+    # (ops/pallas_attention.py) — consumes q/k/v exactly as the projections
+    # produce them, eliminating the relayout copies XLA otherwise inserts
+    # around the windowed einsums (+15% end-to-end on v5e).  Differentiable
+    # (XLA backward); paths with attention-weight dropout fall back to the
+    # "xla" einsum formulation automatically.
+    attention_impl: str = "pallas"
 
     output_vocab: int = MIDI_EVENT_VOCAB_SIZE
 

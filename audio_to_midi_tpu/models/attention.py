@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.pallas_attention import fused_attention
+from ..ops.pallas_attention import fused_attention_nhd_diff
 from . import nn
 from .nn import Params
 from .rope import RopeFreqs, apply_rope_halves, permute_qk_weight_for_rope
@@ -103,13 +103,12 @@ def _attend(
     the flattened local-window formulation.
     """
     if impl == "pallas" and not enable_dropout:
+        # Natural-layout kernel: (.., S, H, hd) -> (G, S, H*hd) is a free
+        # reshape (no transposes, so no XLA relayout copies around the call).
         *lead, s, h, hd = q.shape
-        def to_kernel(x):
-            x = x.reshape(-1, s, h, hd)
-            return jnp.transpose(x, (0, 2, 1, 3))  # (G, H, S, hd)
-        out = fused_attention(to_kernel(q), to_kernel(k), to_kernel(v), block)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(*lead, s, h * hd)
-        return out
+        flat = lambda x: x.reshape(-1, s, h * hd)
+        out = fused_attention_nhd_diff(flat(q), flat(k), flat(v), h, block)
+        return out.reshape(*lead, s, h * hd)
 
     hd = q.shape[-1]
     q = q / jnp.asarray(math.sqrt(hd), q.dtype)

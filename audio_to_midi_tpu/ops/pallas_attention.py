@@ -71,6 +71,68 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _attention_kernel_nhd(
+    q_ref, k_ref, v_ref, o_ref, *, num_heads: int, valid_len: int, block: int
+):
+    """Natural-layout kernel: refs are (1, S, H*hd) — the exact layout the
+    projection matmuls produce, so XLA inserts NO relayout copies around the
+    kernel (the per-head slicing happens in VMEM instead).  Heads are a
+    static python loop; logits scratch is reused by XLA across iterations."""
+    _, s, dmodel = q_ref.shape
+    hd = dmodel // num_heads
+    scale = jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    mask = cols < valid_len
+    if block > 0:
+        mask = mask & (rows // block == cols // block)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        logits = jax.lax.dot_general(
+            q[:, sl] * scale, k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = jnp.where(mask, logits, -1e30)
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jax.lax.dot_general(
+            weights, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+
+def fused_attention_nhd(
+    q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int, block: int = 0
+):
+    """Fused attention over natural (G, S, H*hd) layout (no transposes).
+
+    ``block`` > 0 applies the block-diagonal window mask.  Not differentiable
+    (used on dropout-free inference paths; _attend handles grad fallback).
+    """
+    g, s, dmodel = q.shape
+    s_pad = _round_up(s, 128)
+    if s_pad != s:
+        pad = ((0, 0), (0, s_pad - s), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    spec = pl.BlockSpec((1, s_pad, dmodel), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(
+            _attention_kernel_nhd, num_heads=num_heads, valid_len=s, block=block
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, s_pad, dmodel), q.dtype),
+        grid=(g,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(q, k, v)
+    return out[:, :s, :]
+
+
 _LOGITS_VMEM_BUDGET = 6 * 1024 * 1024  # fp32 logits tile cap per kernel cell
 
 
@@ -140,3 +202,43 @@ def _bwd(block, residuals, g):
 
 
 fused_attention.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention_nhd_diff(q, k, v, num_heads: int, block: int):
+    """Differentiable wrapper over the natural-layout kernel; backward runs
+    the XLA formulation (rematerialized)."""
+    return fused_attention_nhd(q, k, v, num_heads, block)
+
+
+def _nhd_to_ghsd(x, num_heads):
+    g, s, dm = x.shape
+    return jnp.transpose(x.reshape(g, s, num_heads, dm // num_heads), (0, 2, 1, 3))
+
+
+def _ghsd_to_nhd(x):
+    g, h, s, hd = x.shape
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(g, s, h * hd)
+
+
+def _fwd_nhd(q, k, v, num_heads, block):
+    return fused_attention_nhd(q, k, v, num_heads, block), (q, k, v)
+
+
+def _bwd_nhd(num_heads, block, residuals, g):
+    q, k, v = residuals
+
+    def ref(q, k, v):
+        out = _xla_reference(
+            _nhd_to_ghsd(q, num_heads),
+            _nhd_to_ghsd(k, num_heads),
+            _nhd_to_ghsd(v, num_heads),
+            block,
+        )
+        return _ghsd_to_nhd(out)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+fused_attention_nhd_diff.defvjp(_fwd_nhd, _bwd_nhd)
