@@ -91,6 +91,9 @@ def _attention_kernel_nhd(
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
+    # A banded variant (row tiles attending only their own column tile) was
+    # measured and reverted: the kernel is not FLOP-bound at these sizes, and
+    # the extra small matmuls pipelined worse than one full masked dot.
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
         logits = jax.lax.dot_general(
