@@ -82,9 +82,11 @@ class ModelConfig:
     # "pallas": the fused natural-layout VMEM attention kernel
     # (ops/pallas_attention.py) — consumes q/k/v exactly as the projections
     # produce them, eliminating the relayout copies XLA otherwise inserts
-    # around the windowed einsums (+15% end-to-end on v5e).  Differentiable
-    # (XLA backward); paths with attention-weight dropout fall back to the
-    # "xla" einsum formulation automatically.
+    # around the windowed einsums (+15% end-to-end on v5e).
+    # "pallas_block": whole-attention-block megakernel (projections + RoPE +
+    # windowing + attention + overlap-average + out-proj in one kernel).
+    # "xla": einsum formulation.  All are differentiable; paths with
+    # attention-weight dropout fall back to "xla" automatically.
     attention_impl: str = "pallas"
 
     output_vocab: int = MIDI_EVENT_VOCAB_SIZE

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.pallas_attention import fused_attention_nhd_diff
+from ..ops.pallas_attention import fused_attention_layer_diff, fused_attention_nhd_diff
 from . import nn
 from .nn import Params
 from .rope import RopeFreqs, apply_rope_halves, permute_qk_weight_for_rope
@@ -125,6 +125,42 @@ def _attend(
     return attn.reshape(*lead, s, h * d)
 
 
+def _rope_tables(rope: RopeFreqs, n: int, window: int):
+    """(n, hd/2) cos/sin tables: absolute positions (global) or positions
+    restarting every ``window`` rows (flattened local windows)."""
+    if window > 0:
+        reps = -(-n // window)
+        cos = jnp.tile(rope.cos[:window], (reps, 1))[:n]
+        sin = jnp.tile(rope.sin[:window], (reps, 1))[:n]
+        return cos, sin
+    return rope.cos[:n], rope.sin[:n]
+
+
+def _attention_block_pallas(
+    x: jax.Array, p: Params, rope: RopeFreqs, cfg: ModelConfig,
+    valid_len: int, window: int,
+) -> jax.Array:
+    """Whole attention block (proj+rope+attn+avg+out-proj) as one kernel.
+
+    x: (B, P, D) pre-normed (P = the local padded length when window > 0).
+    """
+    from ..ops.pallas_attention import _round_up
+
+    b, p_len, d = x.shape
+    if window > 0:
+        stride = window // 2
+        n_rows = (p_len // stride - 1) * window
+        n_pad = _round_up(n_rows, 128)
+    else:
+        n_pad = p_len
+    cos, sin = _rope_tables(rope, n_pad, window)
+    w = lambda name: p[name]["w"].astype(x.dtype)
+    return fused_attention_layer_diff(
+        x, w("q_up"), w("kv_down"), w("k_up"), w("v_up"), w("out"),
+        cos, sin, cfg.num_transformer_heads, valid_len, window,
+    )
+
+
 def self_attention(
     x: jax.Array,
     p: Params,
@@ -135,6 +171,12 @@ def self_attention(
     enable_dropout: bool = False,
 ) -> jax.Array:
     """Global compressed-KV attention.  x: (..., S, D) -> same shape."""
+    if cfg.attention_impl == "pallas_block" and not enable_dropout and x.ndim == 3:
+        # Whole-block megakernel (proj+rope+attn+out-proj in one kernel).
+        # Measured slightly slower than "pallas" at B=128 on v5e (per-sample
+        # projections lose to batched XLA matmuls) — kept as an option for
+        # other batch regimes.
+        return _attention_block_pallas(x, p, rope, cfg, valid_len=x.shape[1], window=0)
     q, k, v = _qkv(x, p, cfg.num_transformer_heads, rope)
     attn = _attend(
         q, k, v,
@@ -180,6 +222,15 @@ def local_self_attention(
     num_blocks = padded // stride
     assert num_blocks == num_windows + 1
 
+    if cfg.attention_impl == "pallas_block" and not enable_dropout:
+        # One kernel does windowing + proj + rope + masked attention +
+        # overlap-average + out-proj entirely in VMEM; crop reproduces the
+        # reference's padded-coordinate quirk.
+        out = _attention_block_pallas(
+            xp, p, rope, cfg, valid_len=padded, window=window
+        )
+        return out[:, :seq_len, :]
+
     # (B, num_windows, window, D): window w covers padded[w*stride : w*stride+window].
     # Built from two interleaved non-overlapping reshapes — no gather.
     blocks = xp.reshape(b, num_blocks, stride, d)
@@ -188,8 +239,7 @@ def local_self_attention(
     q, k, v = _qkv(windows, p, cfg.num_transformer_heads, rope)
     if cfg.attention_impl == "pallas" and not enable_dropout:
         # Flatten the (windows, window) axes into one sequence and let the
-        # fused kernel's block-diagonal mask realize the per-window softmax:
-        # 31 tiny attentions become one MXU-shaped masked matmul.
+        # fused kernel's block-diagonal mask realize the per-window softmax.
         heads, hd = q.shape[-2], q.shape[-1]
         flat = lambda t: t.reshape(b, num_windows * window, heads, hd)
         out_w = _attend(

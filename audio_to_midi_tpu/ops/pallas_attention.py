@@ -245,3 +245,270 @@ def _bwd_nhd(num_heads, block, residuals, g):
 
 
 fused_attention_nhd_diff.defvjp(_fwd_nhd, _bwd_nhd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-attention-block megakernel: projections + RoPE + (windowing) +
+# masked attention + (overlap-average) + out-projection, one kernel per
+# sample.  Everything between the pre-LN and the residual add runs in VMEM —
+# no HBM intermediate for q/k/v, logits, windows, or rope casts.
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_kernel(
+    x_ref, wq_ref, wkv_ref, wk_ref, wv_ref, wo_ref, cos_ref, sin_ref, o_ref,
+    *, num_heads: int, valid_len: int, window: int,
+):
+    """x_ref: (1, P, D) pre-normed input; o_ref: (1, P, D) attention output.
+
+    ``window`` == 0: global attention over P rows with cols < valid_len.
+    ``window`` > 0: rows are re-windowed in VMEM (stride = window/2), per-
+    window attention via the block-diagonal mask, overlap-averaged back to
+    padded coordinates — the reference's local attention semantics
+    (model.py:409-471) including out-proj linearity (proj after average ==
+    average of projs: no bias).
+    """
+    x = x_ref[0]
+    p_len, d = x.shape
+    stride = window // 2 if window else 0
+
+    if window > 0:
+        nb = p_len // stride
+        blocks = x.reshape(nb, stride, d)
+        windows = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)
+        n_rows = (nb - 1) * window
+        xa = windows.reshape(n_rows, d)
+        n_pad = _round_up(n_rows, 128)
+        if n_pad != n_rows:
+            xa = jnp.pad(xa, ((0, n_pad - n_rows), (0, 0)))
+        kv_valid = n_rows
+    else:
+        xa = x
+        n_pad = p_len
+        kv_valid = valid_len
+
+    def proj(a, w_ref):
+        return jax.lax.dot_general(
+            a, w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(a.dtype)
+
+    q = proj(xa, wq_ref)
+    ckv = proj(xa, wkv_ref)
+    k = proj(ckv, wk_ref)
+    v = proj(ckv, wv_ref)
+
+    hd = q.shape[-1] // num_heads
+    half = hd // 2
+    cos = cos_ref[:]  # (n_pad, hd/2) f32
+    sin = sin_ref[:]
+
+    def rope(t):
+        # Per-head 2D slices: Mosaic does not support lane-splitting reshapes.
+        outs = []
+        for h in range(num_heads):
+            th = t[:, h * hd : (h + 1) * hd]
+            x1 = th[:, :half].astype(jnp.float32)
+            x2 = th[:, half:].astype(jnp.float32)
+            outs.append(
+                jnp.concatenate(
+                    [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+                ).astype(t.dtype)
+            )
+        return jnp.concatenate(outs, axis=-1)
+
+    q = rope(q)
+    k = rope(k)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    mask = cols < kv_valid
+    if window > 0:
+        mask = mask & (rows // window == cols // window)
+
+    scale = jnp.asarray(1.0 / math.sqrt(hd), q.dtype)
+    heads_out = []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        logits = jax.lax.dot_general(
+            q[:, sl] * scale, k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = jnp.where(mask, logits, -1e30)
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        heads_out.append(
+            jax.lax.dot_general(
+                weights, v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype)
+        )
+    attn = jnp.concatenate(heads_out, axis=-1)  # (n_pad, H*hd)
+
+    if window > 0:
+        nb = p_len // stride
+        ow = attn[:n_rows].reshape(nb - 1, window, attn.shape[-1])
+        first = ow[:, :stride, :]
+        second = ow[:, stride:, :]
+        zeros = jnp.zeros((1, stride, attn.shape[-1]), attn.dtype)
+        block_sum = jnp.concatenate([first, zeros], axis=0) + jnp.concatenate(
+            [zeros, second], axis=0
+        )  # (nb, stride, H*hd)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)
+        count = jnp.where((idx > 0) & (idx < nb - 1), 2.0, 1.0).astype(jnp.float32)
+        avg = (block_sum.astype(jnp.float32) / count).astype(attn.dtype)
+        attn = avg.reshape(p_len, attn.shape[-1])
+
+    o_ref[0] = jax.lax.dot_general(
+        attn, wo_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def fused_attention_layer(
+    x: jax.Array,
+    wq: jax.Array,
+    wkv: jax.Array,
+    wk: jax.Array,
+    wv: jax.Array,
+    wo: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    num_heads: int,
+    valid_len: int,
+    window: int = 0,
+) -> jax.Array:
+    """x: (B, P, D) pre-normed (P padded as the caller's geometry requires);
+    returns the (B, P, D) attention-block output."""
+    b, p_len, d = x.shape
+    grid_spec = pl.GridSpec(
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, p_len, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec(wq.shape, lambda i: (0, 0)),
+            pl.BlockSpec(wkv.shape, lambda i: (0, 0)),
+            pl.BlockSpec(wk.shape, lambda i: (0, 0)),
+            pl.BlockSpec(wv.shape, lambda i: (0, 0)),
+            pl.BlockSpec(wo.shape, lambda i: (0, 0)),
+            pl.BlockSpec(cos.shape, lambda i: (0, 0)),
+            pl.BlockSpec(sin.shape, lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, p_len, d), lambda i: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel,
+            num_heads=num_heads,
+            valid_len=valid_len,
+            window=window,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, p_len, d), x.dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(x, wq, wkv, wk, wv, wo, cos, sin)
+
+
+def _attention_layer_reference(
+    x, wq, wkv, wk, wv, wo, cos, sin, num_heads: int, valid_len: int, window: int
+):
+    """jnp mirror of the megakernel math (backward pass + golden tests)."""
+    b, p_len, d = x.shape
+    stride = window // 2 if window else 0
+
+    if window > 0:
+        nb = p_len // stride
+        blocks = x.reshape(b, nb, stride, d)
+        xa = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=2).reshape(
+            b, (nb - 1) * window, d
+        )
+        n = xa.shape[1]
+        kv_valid = n
+    else:
+        xa = x
+        n = p_len
+        kv_valid = valid_len
+
+    def proj(a, w):
+        return jax.lax.dot_general(
+            a, w, (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(a.dtype)
+
+    q, ckv = proj(xa, wq), proj(xa, wkv)
+    k, v = proj(ckv, wk), proj(ckv, wv)
+
+    hd = q.shape[-1] // num_heads
+    half = hd // 2
+    cs, sn = cos[:n], sin[:n]
+
+    def rope(t):
+        tr = t.reshape(b, n, num_heads, hd)
+        x1 = tr[..., :half].astype(jnp.float32)
+        x2 = tr[..., half:].astype(jnp.float32)
+        rot = jnp.concatenate(
+            [x1 * cs[:, None, :] - x2 * sn[:, None, :],
+             x1 * sn[:, None, :] + x2 * cs[:, None, :]], axis=-1,
+        )
+        return rot.astype(t.dtype).reshape(b, n, num_heads * hd)
+
+    q, k = rope(q), rope(k)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    mask = cols < kv_valid
+    if window > 0:
+        mask = mask & (rows // window == cols // window)
+
+    qh = q.reshape(b, n, num_heads, hd) / math.sqrt(hd)
+    kh = k.reshape(b, n, num_heads, hd)
+    vh = v.reshape(b, n, num_heads, hd)
+    logits = jnp.einsum("bshd,bShd->bhsS", qh, kh).astype(jnp.float32)
+    logits = jnp.where(mask, logits, -1e30)
+    weights = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    attn = jnp.einsum("bhsS,bShd->bshd", weights, vh).reshape(b, n, num_heads * hd)
+
+    if window > 0:
+        nb = p_len // stride
+        ow = attn.reshape(b, nb - 1, window, attn.shape[-1])
+        first, second = ow[:, :, :stride, :], ow[:, :, stride:, :]
+        zeros = jnp.zeros((b, 1, stride, attn.shape[-1]), attn.dtype)
+        block_sum = jnp.concatenate([first, zeros], 1) + jnp.concatenate(
+            [zeros, second], 1
+        )
+        count = jnp.ones((nb,), jnp.float32).at[1:-1].set(2.0)
+        attn = (
+            (block_sum.astype(jnp.float32) / count[None, :, None, None])
+            .astype(attn.dtype)
+            .reshape(b, p_len, attn.shape[-1])
+        )
+
+    return proj(attn, wo)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_attention_layer_diff(
+    x, wq, wkv, wk, wv, wo, cos, sin, num_heads: int, valid_len: int, window: int
+):
+    return fused_attention_layer(
+        x, wq, wkv, wk, wv, wo, cos, sin, num_heads, valid_len, window
+    )
+
+
+def _layer_fwd(x, wq, wkv, wk, wv, wo, cos, sin, num_heads, valid_len, window):
+    out = fused_attention_layer(
+        x, wq, wkv, wk, wv, wo, cos, sin, num_heads, valid_len, window
+    )
+    return out, (x, wq, wkv, wk, wv, wo, cos, sin)
+
+
+def _layer_bwd(num_heads, valid_len, window, residuals, g):
+    x, wq, wkv, wk, wv, wo, cos, sin = residuals
+    _, vjp = jax.vjp(
+        lambda *args: _attention_layer_reference(
+            *args, num_heads=num_heads, valid_len=valid_len, window=window
+        ),
+        x, wq, wkv, wk, wv, wo, cos, sin,
+    )
+    return vjp(g)
+
+
+fused_attention_layer_diff.defvjp(_layer_fwd, _layer_bwd)

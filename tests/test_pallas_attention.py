@@ -74,3 +74,32 @@ def test_local_attention_pallas_matches_xla():
     a = attention.local_self_attention(x, p, rope, CFG_XLA)
     b = attention.local_self_attention(x, p, rope, CFG_PALLAS)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
+CFG_BLOCK = dataclasses.replace(CFG_XLA, attention_impl="pallas_block")
+
+
+def test_model_pallas_block_vs_xla_paths():
+    """The whole-block megakernel path matches the einsum path end to end."""
+    params, _ = model_lib.init(jax.random.PRNGKey(5), CFG_XLA)
+    rope = model_lib.make_rope(CFG_XLA)
+    audio = jax.random.normal(jax.random.PRNGKey(6), (2, 2, 400))
+    a = model_lib.forward(params, CFG_XLA, audio, rope)[0]
+    b = model_lib.forward(params, CFG_BLOCK, audio, rope)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
+def test_pallas_block_grad_matches_xla():
+    params, _ = model_lib.init(jax.random.PRNGKey(7), CFG_XLA)
+    rope = model_lib.make_rope(CFG_XLA)
+    audio = jax.random.normal(jax.random.PRNGKey(8), (1, 2, 200))
+
+    def loss(p, cfg):
+        return jnp.sum(model_lib.forward(p, cfg, audio, rope)[0] ** 2)
+
+    ga = jax.grad(lambda p: loss(p, CFG_XLA))(params)
+    gb = jax.grad(lambda p: loss(p, CFG_BLOCK))(params)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
+        )
