@@ -82,10 +82,13 @@ def train(
     grad_scale = 1.0
     use_loss_scaling = cfg.precision.needs_loss_scaling
     recovery = (_copy_to_host(params), _copy_to_host(opt_state))
-    # Loss accumulates ON DEVICE; the host only syncs at print_every — a
-    # per-step sync would serialize the pipeline on dispatch latency.
+    # Loss accumulates ON DEVICE; the host syncs on the PREVIOUS step's loss
+    # each iteration — keeping one step in flight (overlap) while bounding the
+    # dispatch queue (an unbounded async queue of per-step input transfers
+    # backlogs the runtime and grows host memory without bound).
     loss_sum = jnp.zeros((cfg.train.ensemble_size,), jnp.float32)
     loss_count = 0
+    prev_loss = None
     t_start = time.time()
     step = start_step - 1
 
@@ -104,6 +107,10 @@ def train(
             jnp.asarray(grad_scale, cfg.precision.compute_dtype),
         )
         loss, params, opt_state = out.loss, out.params, out.opt_state
+
+        if prev_loss is not None:
+            jax.block_until_ready(prev_loss)
+        prev_loss = loss
 
         if use_loss_scaling:
             grads_valid = np.all(np.asarray(out.grads_valid))
