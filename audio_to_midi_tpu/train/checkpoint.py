@@ -19,6 +19,14 @@ import orbax.checkpoint as ocp
 from ..config import Config
 
 
+def score_by_checkpoint_metrics(metrics: dict) -> float:
+    """Mean of the metric values — the reference's (commented) best_fn for
+    CheckpointManagerOptions (train.py:468-470)."""
+    import numpy as np
+
+    return float(np.mean(np.array(list(metrics.values()))))
+
+
 def create_checkpoint_manager(
     checkpoint_dir: str | Path,
     config: Optional[Config] = None,

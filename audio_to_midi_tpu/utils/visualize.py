@@ -67,6 +67,20 @@ def plot_frequency_domain_audio(sample_name: str, samples, events=None):
     return fig
 
 
+def plot_prob_dist(quantity: str, dist):
+    """Probability distribution line plot (reference infer.py:160-170)."""
+    plt = _plt()
+    dist = np.asarray(dist)
+    fig, ax1 = plt.subplots()
+    ax1.plot(np.arange(dist.shape[0]), dist)
+    ax1.set(
+        xlabel=quantity,
+        ylabel="Probability",
+        title=f"Probability distribution for {quantity}",
+    )
+    return fig
+
+
 def plot_embedding(sample_name: str, embeddings):
     plt = _plt()
     embeddings = np.asarray(embeddings)

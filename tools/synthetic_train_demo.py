@@ -83,6 +83,11 @@ def main():
     manager = ckpt.create_checkpoint_manager(
         work / "ckpt", cfg, save_interval_steps=cfg.train.checkpoint_every
     )
+    restored = ckpt.restore_checkpoint(manager, params, state)
+    if restored is not None:
+        params, state, restored_step = restored
+        params = shard_params(params, mesh)
+        print(f"resuming from step {restored_step}", flush=True)
 
     data_loader = loader.create_dataset_loader(
         train_dir,
