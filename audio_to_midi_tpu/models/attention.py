@@ -29,7 +29,11 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.pallas_attention import fused_attention_layer_diff, fused_attention_nhd_diff
+from ..ops.pallas_attention import (
+    fused_attention_layer_diff,
+    fused_attention_nhd_diff,
+    fused_rope_attention,
+)
 from . import nn
 from .nn import Params
 from .rope import RopeFreqs, apply_rope_halves, permute_qk_weight_for_rope
@@ -177,6 +181,8 @@ def self_attention(
         # projections lose to batched XLA matmuls) — kept as an option for
         # other batch regimes.
         return _attention_block_pallas(x, p, rope, cfg, valid_len=x.shape[1], window=0)
+    # (Fusing RoPE into the kernel — fused_rope_attention — was measured
+    # slower: per-cell serial VPU rotation loses to XLA's batched rope.)
     q, k, v = _qkv(x, p, cfg.num_transformer_heads, rope)
     attn = _attend(
         q, k, v,

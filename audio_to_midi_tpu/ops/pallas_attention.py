@@ -248,6 +248,133 @@ fused_attention_nhd_diff.defvjp(_fwd_nhd, _bwd_nhd)
 
 
 # ---------------------------------------------------------------------------
+# Natural-layout kernel with RoPE fused in: q/k arrive straight from their
+# projections (unroped, (G, S, H*hd)); the per-head halves rotation happens in
+# VMEM, eliminating the XLA rope ops and their head-reshape relayouts.
+# ---------------------------------------------------------------------------
+
+
+def _attention_kernel_nhd_rope(
+    q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref,
+    *, num_heads: int, valid_len: int, block: int,
+):
+    _, s, dmodel = q_ref.shape
+    hd = dmodel // num_heads
+    half = hd // 2
+    scale = jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
+    cos = cos_ref[:]
+    sin = sin_ref[:]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    mask = cols < valid_len
+    if block > 0:
+        mask = mask & (rows // block == cols // block)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+
+        def rope(t):
+            x1 = t[:, :half].astype(jnp.float32)
+            x2 = t[:, half:].astype(jnp.float32)
+            return jnp.concatenate(
+                [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+            ).astype(t.dtype)
+
+        qh = rope(q[:, sl]) * scale
+        kh = rope(k[:, sl])
+        logits = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        logits = jnp.where(mask, logits, -1e30)
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jax.lax.dot_general(
+            weights, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+
+def _rope_attention_reference(q, k, v, cos, sin, num_heads: int, block: int):
+    """jnp mirror of the rope-fused kernel (backward + tests).
+    q/k/v: (G, S, H*hd) unroped; cos/sin: (>=S, hd/2)."""
+    g, s, dm = q.shape
+    hd = dm // num_heads
+    half = hd // 2
+    cs, sn = cos[:s], sin[:s]
+
+    def rope(t):
+        tr = t.reshape(g, s, num_heads, hd)
+        x1 = tr[..., :half].astype(jnp.float32)
+        x2 = tr[..., half:].astype(jnp.float32)
+        return jnp.concatenate(
+            [x1 * cs[:, None, :] - x2 * sn[:, None, :],
+             x1 * sn[:, None, :] + x2 * cs[:, None, :]], axis=-1,
+        ).astype(t.dtype)
+
+    qh = rope(q) / math.sqrt(hd)
+    kh = rope(k)
+    vh = v.reshape(g, s, num_heads, hd)
+    logits = jnp.einsum("gshd,gShd->ghsS", qh, kh).astype(jnp.float32)
+    if block > 0:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        logits = jnp.where(rows // block == cols // block, logits, -1e30)
+    weights = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("ghsS,gShd->gshd", weights, vh)
+    return out.reshape(g, s, dm)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_rope_attention(q, k, v, cos, sin, num_heads: int, block: int = 0):
+    """RoPE + masked attention, natural layout, one kernel per group."""
+    g, s, dm = q.shape
+    s_pad = _round_up(s, 128)
+    if s_pad != s:
+        pad = ((0, 0), (0, s_pad - s), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    # cos/sin must cover the padded rows (extra rows are masked/cropped).
+    tpad = ((0, max(0, s_pad - cos.shape[0])), (0, 0))
+    cos = jnp.pad(cos[:s_pad].astype(jnp.float32), tpad)
+    sin = jnp.pad(sin[:s_pad].astype(jnp.float32), tpad)
+
+    spec = pl.BlockSpec((1, s_pad, dm), lambda i: (i, 0, 0))
+    tspec = pl.BlockSpec(cos.shape, lambda i: (0, 0))
+    out = pl.pallas_call(
+        functools.partial(
+            _attention_kernel_nhd_rope,
+            num_heads=num_heads, valid_len=s, block=block,
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, s_pad, dm), q.dtype),
+        grid=(g,),
+        in_specs=[spec, spec, spec, tspec, tspec],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(q, k, v, cos, sin)
+    return out[:, :s, :]
+
+
+def _rope_fwd(q, k, v, cos, sin, num_heads, block):
+    return fused_rope_attention(q, k, v, cos, sin, num_heads, block), (q, k, v, cos, sin)
+
+
+def _rope_bwd(num_heads, block, residuals, g):
+    q, k, v, cos, sin = residuals
+    _, vjp = jax.vjp(
+        lambda q, k, v: _rope_attention_reference(q, k, v, cos, sin, num_heads, block),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+fused_rope_attention.defvjp(_rope_fwd, _rope_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Whole-attention-block megakernel: projections + RoPE + (windowing) +
 # masked attention + (overlap-average) + out-projection, one kernel per
 # sample.  Everything between the pre-LN and the residual add runs in VMEM —
