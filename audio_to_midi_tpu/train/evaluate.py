@@ -72,15 +72,31 @@ def compute_testset_loss_individual(
     if generate_visualizations is None:
         generate_visualizations = len(batches) < 30
 
+    max_windows_per_batch = 64
     loss_map: dict[str, dict[str, Any]] = {}
     for name, audio, labels in batches:
-        logits, probs, losses = _infer_windows(
-            params, cfg, jnp.asarray(audio), jnp.asarray(labels), rope, ensemble
-        )
-        probs = np.asarray(probs, np.float32)
-        losses = np.asarray(losses, np.float32)
-        if not ensemble:
-            probs, losses = probs[None], losses[None]
+        # Long samples stream their windows in fixed-size batches (one
+        # compiled shape, padded tail) to bound device memory.
+        probs_chunks, losses_chunks = [], []
+        for lo in range(0, audio.shape[0], max_windows_per_batch):
+            a = audio[lo : lo + max_windows_per_batch]
+            l = labels[lo : lo + max_windows_per_batch]
+            take = a.shape[0]
+            if audio.shape[0] > max_windows_per_batch and take < max_windows_per_batch:
+                pad = max_windows_per_batch - take
+                a = np.concatenate([a, np.zeros((pad, *a.shape[1:]), a.dtype)])
+                l = np.concatenate([l, np.zeros((pad, *l.shape[1:]), l.dtype)])
+            _logits, p_c, l_c = _infer_windows(
+                params, cfg, jnp.asarray(a), jnp.asarray(l), rope, ensemble
+            )
+            p_c = np.asarray(p_c, np.float32)
+            l_c = np.asarray(l_c, np.float32)
+            if not ensemble:
+                p_c, l_c = p_c[None], l_c[None]
+            probs_chunks.append(p_c[:, :take])
+            losses_chunks.append(l_c[:, :take])
+        probs = np.concatenate(probs_chunks, axis=1)
+        losses = np.concatenate(losses_chunks, axis=1)
 
         e = probs.shape[0]
         test_losses, hit_rates, eventized, phantom, missed, figs = [], [], [], [], [], []

@@ -36,14 +36,12 @@ def cli_env(tmp_path_factory):
     )
     cfg_path = root / "config.json"
     cfg_path.write_text(config_to_json(cfg))
-    return root, dataset, names, cfg_path
 
+    # Train the checkpoint the other CLI tests consume (so each test can also
+    # run standalone).
+    from audio_to_midi_tpu.cli.train_cli import main as train_main
 
-def test_train_cli(cli_env):
-    root, dataset, names, cfg_path = cli_env
-    from audio_to_midi_tpu.cli.train_cli import main
-
-    rc = main([
+    rc = train_main([
         "--dataset", str(dataset),
         "--checkpoint", str(root / "ckpt"),
         "--config", str(cfg_path),
@@ -51,7 +49,16 @@ def test_train_cli(cli_env):
         "--no-tensorboard",
     ])
     assert rc == 0
+    return root, dataset, names, cfg_path
+
+
+def test_train_cli(cli_env):
+    root, dataset, names, cfg_path = cli_env
     assert (root / "ckpt").exists()
+    from audio_to_midi_tpu.train.checkpoint import restore_raw
+
+    _params, step = restore_raw(root / "ckpt")
+    assert step == 2
 
 
 def test_audio_to_midi_cli_transcribe(cli_env, capsys):
