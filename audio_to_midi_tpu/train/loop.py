@@ -110,7 +110,17 @@ def train(
 
         if prev_loss is not None:
             jax.block_until_ready(prev_loss)
-        prev_loss = loss
+            # The guard inside the step already skipped the bad update
+            # device-side (step.py); here we just surface it.  Checked one
+            # step late so the bf16 default keeps one step in flight.
+            prev_valid_host = np.asarray(prev_valid)
+            if not prev_valid_host.all():
+                log.warning(
+                    "Non-finite grads/loss at step %d (members valid=%s); "
+                    "update was skipped for the affected members",
+                    step - 1, prev_valid_host,
+                )
+        prev_loss, prev_valid = loss, out.grads_valid
 
         if use_loss_scaling:
             grads_valid = np.all(np.asarray(out.grads_valid))
@@ -132,7 +142,9 @@ def train(
         if checkpoint_manager is not None:
             ckpt.save_checkpoint(checkpoint_manager, step, params, state)
 
-        loss_sum = loss_sum + loss
+        # Mask non-finite member losses out of the running average (the
+        # corresponding updates were skipped by the in-step guard).
+        loss_sum = loss_sum + jnp.where(jnp.isfinite(loss), loss, 0.0)
         loss_count += 1
 
         if step % cfg.train.print_every == 0:
@@ -179,6 +191,17 @@ def train(
                 rng = np.random.default_rng(int(jax.random.bits(key)))
                 key, _ = jax.random.split(key)
                 evolved = evolve_model_ensemble(params, scores, rng)
-                params = shard_params(evolved, mesh)
+                # Re-place with the population axis still sharded over the
+                # mesh "ensemble" dim (the rollback path at the top of the
+                # loop does the same) — dropping it would silently replicate
+                # params and double per-device memory on an ensemble mesh.
+                params = shard_params(
+                    evolved, mesh, ensemble=cfg.train.ensemble_size > 1
+                )
+                # Optimizer state is deliberately KEPT across recombination:
+                # the reference leaves this as an open TODO (train.py:440-442)
+                # and in practice never resets; a recombined member inherits
+                # the moments of the slot it replaced, which re-converge
+                # within ~beta2 horizon and avoid a cold-start LR spike.
 
     return params, state, opt_state

@@ -103,8 +103,21 @@ def make_train_step(
 
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+
+        # Always-on non-finite guard (reference train.py:369-377 checks every
+        # step regardless of precision): a member whose grads or loss went
+        # non-finite keeps its params AND opt state — the bad update is never
+        # applied, under bf16 as well as f16.  The f16 host loop additionally
+        # rolls back to a snapshot and halves the grad scale.
+        valid = grads_valid & jnp.isfinite(scaled_loss)
+        new_params = jax.tree.map(
+            lambda n, o: jnp.where(valid, n, o), new_params, params
+        )
+        new_opt_state = jax.tree.map(
+            lambda n, o: jnp.where(valid, n, o), new_opt_state, opt_state
+        )
         loss = scaled_loss / grad_scale.astype(jnp.float32)
-        return TrainStepOutput(loss, new_params, new_opt_state, grads_valid, scaled_loss)
+        return TrainStepOutput(loss, new_params, new_opt_state, valid, scaled_loss)
 
     def step(params, opt_state, audio, labels, key, grad_scale):
         if ensemble:

@@ -71,3 +71,8 @@ def test_loop_with_eval_and_evolution(tmp_path):
     leaf = np.asarray(jax.tree.leaves(params)[0])
     assert leaf.shape[0] == 4
     assert np.isfinite(leaf).all()
+    # Evolution must re-place params with the population axis still sharded
+    # over the mesh "ensemble" dim (round-1 regression: shard_params was
+    # called without ensemble=True, silently replicating params).
+    for p in jax.tree.leaves(params):
+        assert p.sharding.spec[0] == "ensemble", p.sharding

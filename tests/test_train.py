@@ -131,6 +131,8 @@ def test_nan_grads_detected():
     step = make_train_step(cfg, tx, rope, mesh=None, ensemble=True)
     audio, labels = _data()
     audio[0, 0, 0] = np.nan
+    params0 = jax.tree.map(np.asarray, params)  # inputs are donated
+    opt_state0 = jax.tree.map(np.asarray, opt_state)
     out = step(
         params, opt_state,
         reshape_to_minibatches(jnp.asarray(audio), 8),
@@ -138,6 +140,51 @@ def test_nan_grads_detected():
         jax.random.PRNGKey(0), jnp.asarray(1.0, jnp.float32),
     )
     assert not bool(out.grads_valid[0])
+    # In-step guard (reference train.py:369-377 checks every step): the bad
+    # update must NOT be applied — params and opt state come back unchanged.
+    for new, old in zip(jax.tree.leaves(out.params), jax.tree.leaves(params0)):
+        np.testing.assert_array_equal(np.asarray(new), np.asarray(old))
+    for new, old in zip(jax.tree.leaves(out.opt_state), jax.tree.leaves(opt_state0)):
+        np.testing.assert_array_equal(np.asarray(new), np.asarray(old))
+
+
+def test_bf16_loop_skips_nonfinite_update(caplog, tmp_path):
+    """bf16 (no loss scaling): a NaN batch must leave params untouched and
+    log a warning — the reference always guards (train.py:369-377)."""
+    import logging
+
+    from audio_to_midi_tpu.train import loop
+
+    cfg = small_config()
+    cfg = dataclasses.replace(
+        cfg,
+        precision=PrecisionConfig(compute_dtype=jnp.bfloat16),
+        train=dataclasses.replace(cfg.train, num_steps=2, print_every=1),
+    )
+    assert not cfg.precision.needs_loss_scaling
+    rope = model_lib.make_rope(cfg.model)
+    params, state = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
+    tx, sched = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
+    opt_state = jax.vmap(tx.init)(params)
+    mesh = make_mesh(1)
+    params = shard_params(params, mesh)
+    params0 = jax.tree.map(np.asarray, params)
+
+    audio, labels = _data()
+    audio[:, :, :] = np.nan  # every batch poisoned
+
+    def batches():
+        while True:
+            yield labels, audio
+
+    with caplog.at_level(logging.WARNING, logger="audio_to_midi_tpu.train.loop"):
+        out_params, _, _ = loop.train(
+            cfg, params, state, tx, opt_state, batches(), None, sched, rope,
+            num_model_output_frames=20, mesh=mesh,
+        )
+    for new, old in zip(jax.tree.leaves(out_params), jax.tree.leaves(params0)):
+        np.testing.assert_array_equal(np.asarray(new), np.asarray(old))
+    assert any("Non-finite grads/loss" in r.message for r in caplog.records)
 
 
 def test_optimizer_depth_factors():
