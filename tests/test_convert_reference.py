@@ -66,8 +66,8 @@ def _unpermute_rope(w, num_heads):
     return shaped[..., inverse].reshape(w.shape)
 
 
-def _to_ref_attention(p):
-    h = CFG.num_transformer_heads
+def _to_ref_attention(p, h=None):
+    h = CFG.num_transformer_heads if h is None else h
     return {
         "query_up_proj": {"weight": _sw(_unpermute_rope(p["q_up"]["w"], h))},
         "kv_down_proj": {"weight": _sw(p["kv_down"]["w"])},
@@ -77,8 +77,8 @@ def _to_ref_attention(p):
     }
 
 
-def _to_ref_layer(p, local: bool):
-    attn = _to_ref_attention(p["attention"])
+def _to_ref_layer(p, local: bool, h=None):
+    attn = _to_ref_attention(p["attention"], h)
     return {
         "attention_norm": _to_ref_ln(p["attention_norm"]),
         "attention_block": {"self_attention": attn} if local else attn,
@@ -125,8 +125,12 @@ def build_reference_tree(params, cfg: ModelConfig):
         "norm": _to_ref_ln(params["cnn"]["final_norm"]),
         "transformer": {
             "layers": {
-                "local_attention": _to_ref_layer(t["local"], local=True),
-                "global_attention": _to_ref_layer(t["global"], local=False),
+                "local_attention": _to_ref_layer(
+                    t["local"], local=True, h=cfg.num_transformer_heads
+                ),
+                "global_attention": _to_ref_layer(
+                    t["global"], local=False, h=cfg.num_transformer_heads
+                ),
             }
         },
         "decoder": {
