@@ -108,6 +108,14 @@ def main(argv=None) -> int:
     params, state = model_lib.init_ensemble(
         jax.random.PRNGKey(1), cfg.model, cfg.train.ensemble_size
     )
+    if cfg.train.use_custom_init:
+        # Reference train.py:573-644 (call disabled there at :792).
+        from ..train.init_surgery import apply_init_surgery
+
+        surgery_keys = jax.random.split(jax.random.PRNGKey(2), cfg.train.ensemble_size)
+        params = jax.vmap(
+            lambda p, k: apply_init_surgery(p, k, cfg.model.num_transformer_heads)
+        )(params, surgery_keys)
 
     manager = ckpt.create_checkpoint_manager(
         Path(args.checkpoint), cfg,

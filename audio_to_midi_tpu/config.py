@@ -85,9 +85,22 @@ class ModelConfig:
     # around the windowed einsums (+15% end-to-end on v5e).
     # "pallas_block": whole-attention-block megakernel (projections + RoPE +
     # windowing + attention + overlap-average + out-proj in one kernel).
+    # "pallas_pair": transformer-PAIR megakernel (ops/pallas_pair.py) — a full
+    # alternating local+global pair (4 sublayers incl. FFNs and residuals) per
+    # kernel, several samples per grid cell, everything VMEM-resident.
     # "xla": einsum formulation.  All are differentiable; paths with
-    # attention-weight dropout fall back to "xla" automatically.
+    # attention-weight dropout (and geometries the pair kernel doesn't
+    # support) fall back automatically.
     attention_impl: str = "pallas"
+
+    # "pallas": small-C early stages (C < 64) run in the packed
+    # space-to-depth formulation (models/convnext_packed.py) where every op
+    # is a full-lane matmul — measured 3.2x faster for stage 1 on v5e;
+    # large-C stages use the scanned XLA path (near its MFU ceiling).
+    # "pallas_stage": additionally run C >= 64 stages as whole-stage Pallas
+    # kernels (ops/pallas_convnext.py) — measured SLOWER on v5e defaults,
+    # kept for other geometries.  "xla": always the scanned path.
+    cnn_impl: str = "pallas"
 
     output_vocab: int = MIDI_EVENT_VOCAB_SIZE
 
@@ -218,6 +231,10 @@ class TrainConfig:
     recovery_snapshot_every: int = 100     # NaN-rollback snapshot (train.py:350)
     loss_scale_increase_threshold: float = 10_000.0  # train.py:379
     seed: int = 1234
+    # Custom init surgery (reference train.py:573-644 `init_model`): N(0,0.2)
+    # attention projections & conv weights, N(0,0.01) conv biases.  The
+    # reference keeps the call commented out (train.py:792) — off by default.
+    use_custom_init: bool = False
 
 
 @dataclass(frozen=True)

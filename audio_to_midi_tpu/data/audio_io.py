@@ -250,6 +250,38 @@ def normalize_loudness_np(samples: np.ndarray) -> np.ndarray:
     return (samples * np.sqrt(1.0 / variance)).astype(np.float32)
 
 
+def _write_extended80(value: float) -> bytes:
+    """Encode a positive float as 80-bit IEEE extended (AIFF sample rate)."""
+    if value == 0:
+        return b"\x00" * 10
+    import math
+
+    mantissa, exponent = math.frexp(value)  # value = mantissa * 2**exponent
+    # Normalize so the integer mantissa has its top bit set (bit 63).
+    mant_int = int(mantissa * (1 << 64))
+    exp_field = exponent + 16383 - 1
+    return struct.pack(">HQ", exp_field, mant_int)
+
+
+def write_aiff(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
+    """Write (channels, N) float32 as 16-bit PCM AIFF (big-endian) — fixture
+    writer mirroring :func:`write_wav` for the reference's `.aif` datasets
+    (python.rs:412-421)."""
+    x = np.clip(samples, -1.0, 1.0)
+    pcm = (x.T * 32767.0).astype(">i2").tobytes()
+    channels, nframes = samples.shape
+    comm = struct.pack(">HIH", channels, nframes, 16) + _write_extended80(
+        float(sample_rate)
+    )
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    Path(path).write_bytes(b"FORM" + struct.pack(">I", len(body)) + body)
+
+
 def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
     """Write (channels, N) float32 as 16-bit PCM WAV (used by tests/synthetic)."""
     x = np.clip(samples, -1.0, 1.0)

@@ -32,6 +32,7 @@ from ..config import ModelConfig
 from ..ops.pallas_attention import (
     fused_attention_layer_diff,
     fused_attention_nhd_diff,
+    fused_local_two_phase,
     fused_rope_attention,
 )
 from . import nn
@@ -127,6 +128,18 @@ def _attend(
     attn = jnp.einsum("...hsS,...Shd->...shd", weights, v)
     *lead, s, h, d = attn.shape
     return attn.reshape(*lead, s, h * d)
+
+
+def _rope_with(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Halves-layout RoPE with explicit per-row tables.
+    x: (B, S, H, hd); cos/sin: (S, hd//2)."""
+    half = x.shape[-1] // 2
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out = jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    return out.astype(x.dtype)
 
 
 def _rope_tables(rope: RopeFreqs, n: int, window: int):
@@ -236,6 +249,36 @@ def local_self_attention(
             xp, p, rope, cfg, valid_len=padded, window=window
         )
         return out[:, :seq_len, :]
+
+    if (
+        cfg.attention_impl == "pallas"
+        and not enable_dropout
+        and padded % window == 0
+        and padded % 16 == 0
+    ):
+        # Two-phase formulation: q/k/v projected ONCE on the padded rows (the
+        # projections commute with windowing), RoPE'd twice with per-phase
+        # window-restarting tables, then one kernel computes both phase
+        # attentions and the overlap average (see ops/pallas_attention.py).
+        heads, hd = cfg.num_transformer_heads, cfg.attention_size
+        q = nn.linear(xp, p["q_up"]).reshape(b, padded, heads, hd)
+        ckv = nn.linear(xp, p["kv_down"])
+        k = nn.linear(ckv, p["k_up"]).reshape(b, padded, heads, hd)
+        v = nn.linear(ckv, p["v_up"])
+        reps = padded // window
+        cos_a = jnp.tile(rope.cos[:window], (reps, 1))
+        sin_a = jnp.tile(rope.sin[:window], (reps, 1))
+        cos_b = jnp.roll(cos_a, stride, axis=0)
+        sin_b = jnp.roll(sin_a, stride, axis=0)
+        flat = lambda t: t.reshape(b, padded, heads * hd)
+        qa, ka = _rope_with(q, cos_a, sin_a), _rope_with(k, cos_a, sin_a)
+        qb, kb = _rope_with(q, cos_b, sin_b), _rope_with(k, cos_b, sin_b)
+        out = fused_local_two_phase(
+            flat(qa), flat(ka), flat(qb), flat(kb), v, heads, window
+        )
+        # Reference quirk: crop the padded-coordinate average to the first
+        # seq_len rows; out-proj is bias-free so it commutes with the crop.
+        return nn.linear(out[:, :seq_len, :], p["out"])
 
     # (B, num_windows, window, D): window w covers padded[w*stride : w*stride+window].
     # Built from two interleaved non-overlapping reshapes — no gather.

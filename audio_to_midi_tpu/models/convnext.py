@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from . import nn
+from ..ops.pallas_convnext import fused_convnext_stage_diff, stage_supported
+from . import convnext_packed, nn
 from .nn import Params
 
 
@@ -160,15 +161,61 @@ def cnn_forward(
     else:
         all_keys = jnp.zeros((n_blocks_total, 2), dtype=jnp.uint32)
 
+    # Packed (space-to-depth) path for the small-C early stages: every op is
+    # a full-lane matmul (models/convnext_packed.py).  Eligible while
+    # C < 64, C divides 128 and the packed row count stays integral.
+    use_packed = not enable_sdd and cfg.cnn_impl in ("pallas", "pallas_stage")
+
     h = x
     depth_count = 0
+    packed = False  # h currently in (B, R, f*C) packed layout for dims[i-1]
     for i, stage in enumerate(params["stages"]):
+        c = cfg.dims[i]
+        length = h.shape[1] * (128 // cfg.dims[i - 1] if packed else 1)
+        want_packed = (
+            use_packed
+            and c < 64
+            and 128 % c == 0
+            and (length // (5 if i == 0 else 2)) % (128 // c) == 0
+        )
+
+        if want_packed:
+            if i == 0:
+                h = convnext_packed.packed_stem(h, stage["down"], 128 // c)
+            elif packed:
+                h = convnext_packed.packed_downsample(h, stage["down"], cfg.dims[i - 1])
+            else:  # natural -> packed entry mid-CNN (unusual dims)
+                h = downsample(h, stage["down"])
+                b_, l_, _ = h.shape
+                h = h.reshape(b_, l_ // (128 // c), 128)
+            h = convnext_packed.packed_stage_blocks(h, stage["blocks"], c)
+            packed = True
+            depth_count += cfg.depths[i]
+            continue
+
+        if packed:
+            h = convnext_packed.unpack(h, cfg.dims[i - 1])
+            packed = False
+
         if i == 0:
             h = stem(h, stage["down"])
         else:
             h = downsample(h, stage["down"])
 
         depth_i = cfg.depths[i]
+
+        if not enable_sdd and cfg.cnn_impl == "pallas_stage" and stage_supported(
+            h.shape[1], cfg.dims[i], depth_i
+        ):
+            # Whole-stage megakernel (ops/pallas_convnext.py).  Measured
+            # SLOWER than XLA on v5e for the default geometry (stage 6:
+            # 3.45 ms vs 1.97 — the 7 serial depthwise taps starve the MXU),
+            # so not part of the default "pallas" path; kept as an option
+            # for other geometries.
+            h = fused_convnext_stage_diff(h, stage["blocks"])
+            depth_count += depth_i
+            continue
+
         stage_rates = jnp.asarray(
             sdd_rates[depth_count : depth_count + depth_i], jnp.float32
         )
@@ -191,4 +238,7 @@ def cnn_forward(
 
         h, _ = jax.lax.scan(body, h, (stage["blocks"], stage_rates, stage_keys))
         depth_count += depth_i
+
+    if packed:
+        h = convnext_packed.unpack(h, cfg.dims[-1])
     return nn.layer_norm(h, params["final_norm"])

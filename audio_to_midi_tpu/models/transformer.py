@@ -14,14 +14,23 @@ remat-friendly; we do the same.
 
 from __future__ import annotations
 
+import dataclasses
+import functools
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
+from ..ops import pallas_pair
+from ..ops.pallas_attention import _round_up
 from . import nn
-from .attention import init_self_attention, local_self_attention, self_attention
+from .attention import (
+    _local_padding,
+    init_self_attention,
+    local_self_attention,
+    self_attention,
+)
 from .nn import Params
 from .rope import RopeFreqs
 
@@ -148,6 +157,90 @@ def alternating_layer(
     return x
 
 
+# ---------------------------------------------------------------------------
+# Pair megakernel path: the whole alternating pair (4 sublayers) runs as one
+# Pallas kernel per scan step (ops/pallas_pair.py); backward delegates to the
+# XLA ``alternating_layer`` via custom_vjp, so gradients are exact w.r.t. the
+# same math.
+# ---------------------------------------------------------------------------
+
+
+def _pair_rope_tables(rope: RopeFreqs, cfg: ModelConfig, p_len: int, pad_l: int):
+    """Kernel rope tables, one row per padded-sequence row.
+
+    Phase A of the two-phase local attention uses position ``r mod window``
+    (windows start at 0, window, 2*window, …); phase B uses
+    ``(r - stride) mod window`` (windows start at stride, stride+window, …).
+    Global positions are absolute over the valid region, i.e. row (pad_l + i)
+    gets position i."""
+    window = cfg.local_context_window
+    stride = window // 2
+    reps = -(-p_len // window)
+    cos_a = jnp.tile(rope.cos[:window], (reps, 1))[:p_len]
+    sin_a = jnp.tile(rope.sin[:window], (reps, 1))[:p_len]
+    cos_b = jnp.roll(cos_a, stride, axis=0)
+    sin_b = jnp.roll(sin_a, stride, axis=0)
+    cos_g = jnp.concatenate([jnp.ones((pad_l,) + rope.cos.shape[1:]), rope.cos])[:p_len]
+    sin_g = jnp.concatenate([jnp.zeros((pad_l,) + rope.sin.shape[1:]), rope.sin])[:p_len]
+    return cos_a, sin_a, cos_b, sin_b, cos_g, sin_g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_pair(xp, p, rope, cfg: ModelConfig, valid_len: int, pad_l: int):
+    """xp: (B, P, D) local-padded (valid rows at offset pad_l, rest zero)."""
+    tables = _pair_rope_tables(rope, cfg, xp.shape[1], pad_l)
+    return pallas_pair.fused_transformer_pair(
+        xp,
+        pallas_pair.pair_weights(p, xp.dtype),
+        tables,
+        num_heads=cfg.num_transformer_heads,
+        valid_len=valid_len,
+        pad_l=pad_l,
+        window=cfg.local_context_window,
+    )
+
+
+def _pair_xla(xp, p, rope, cfg: ModelConfig, valid_len: int, pad_l: int):
+    """jnp mirror: crop -> alternating pair on the XLA path -> re-pad."""
+    pad_r = xp.shape[1] - pad_l - valid_len
+    x = xp[:, pad_l : pad_l + valid_len]
+    xla_cfg = dataclasses.replace(cfg, attention_impl="xla")
+    y = alternating_layer(x, p, rope, xla_cfg)
+    return jnp.pad(y, ((0, 0), (pad_l, pad_r), (0, 0)))
+
+
+def _fused_pair_fwd(xp, p, rope, cfg, valid_len, pad_l):
+    return _fused_pair(xp, p, rope, cfg, valid_len, pad_l), (xp, p, rope)
+
+
+def _fused_pair_bwd(cfg, valid_len, pad_l, residuals, g):
+    xp, p, rope = residuals
+    _, vjp = jax.vjp(
+        lambda xp, p: _pair_xla(xp, p, rope, cfg, valid_len, pad_l), xp, p
+    )
+    dxp, dp = vjp(g)
+    return dxp, dp, None
+
+
+_fused_pair.defvjp(_fused_pair_fwd, _fused_pair_bwd)
+
+
+def _pair_kernel_applicable(cfg: ModelConfig, x: jax.Array, enable_dropout: bool) -> bool:
+    if cfg.attention_impl != "pallas_pair" or enable_dropout or x.ndim != 3:
+        return False
+    s = x.shape[1]
+    pad_l, pad_r = _local_padding(s, cfg.local_context_window)
+    p_len = s + pad_l + pad_r
+    return (
+        x.shape[-1] == cfg.transformer_hidden_dim
+        and cfg.attention_size * cfg.num_transformer_heads == cfg.transformer_hidden_dim
+        and pallas_pair.pair_supported(
+            p_len, cfg.transformer_hidden_dim, cfg.num_transformer_heads,
+            cfg.local_context_window,
+        )
+    )
+
+
 def transformer_stack(
     x: jax.Array,
     stacked: Params,
@@ -163,6 +256,16 @@ def transformer_stack(
     stack executed via lax.scan under jax.checkpoint).
     """
     n = cfg.num_transformer_layers
+    if _pair_kernel_applicable(cfg, x, enable_dropout):
+        s = x.shape[1]
+        pad_l, pad_r = _local_padding(s, cfg.local_context_window)
+        xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
+
+        def pair_body(h, p):
+            return _fused_pair(h, p, rope, cfg, s, pad_l), None
+
+        out, _ = jax.lax.scan(pair_body, xp, stacked)
+        return out[:, pad_l : pad_l + s]
     if key is not None:
         layer_keys = jax.random.split(key, n)
     else:

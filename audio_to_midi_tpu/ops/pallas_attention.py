@@ -248,6 +248,153 @@ fused_attention_nhd_diff.defvjp(_fwd_nhd, _bwd_nhd)
 
 
 # ---------------------------------------------------------------------------
+# Two-phase local (sliding-window) attention.
+#
+# The reference's stride-8/window-16 sliding windows (model.py:377-471)
+# partition into two NON-overlapping sets: phase A windows start at 0, w,
+# 2w, … (a plain block-diagonal-w mask on the padded rows); phase B windows
+# start at w/2, 3w/2, … (the same mask shifted by w/2, covering rows
+# [w/2, P-w/2)).  Every row lies in exactly one window per phase, so the
+# reference's overlap-average over windows is exactly (outA + outB) / count
+# with count = 2 on [w/2, P-w/2) and 1 at the edges.  This needs NO windowed
+# gather/scatter, projects q/k/v on the original rows (phase-specific RoPE
+# tables restart positions per window), and computes P^2 masked logits per
+# phase instead of (2P)^2 for the flattened-windows formulation.
+# ---------------------------------------------------------------------------
+
+
+def _two_phase_kernel(
+    qa_ref, ka_ref, qb_ref, kb_ref, v_ref, o_ref, *, num_heads: int, window: int
+):
+    """Refs: (n, P, H*hd).  Output: the overlap-averaged local attention in
+    padded coordinates."""
+    n, p_len, dm = qa_ref.shape
+    hd = dm // num_heads
+    stride = window // 2
+    scale = jnp.asarray(1.0 / math.sqrt(hd), qa_ref.dtype)
+
+    pr = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 1)
+    mask_a = pr // window == pc // window
+    in_band = (pc >= stride) & (pc < p_len - stride)
+    mask_b = ((pr - stride) // window == (pc - stride) // window) & in_band
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
+    b_rows = (col >= stride) & (col < p_len - stride)
+    inv_count = jnp.where(b_rows, 0.5, 1.0).astype(jnp.float32)
+
+    qa = qa_ref[...]
+    ka = ka_ref[...]
+    qb = qb_ref[...]
+    kb = kb_ref[...]
+    v = v_ref[...]
+
+    def mha(q, k, vv, mask):
+        outs = []
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            logits = jax.lax.dot_general(
+                q[:, sl] * scale, k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = jnp.where(mask, logits, -1e30)
+            weights = jax.nn.softmax(logits, axis=-1).astype(vv.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    weights, vv[:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        return jnp.concatenate(outs, axis=-1)  # fp32
+
+    for s in range(n):
+        out_a = mha(qa[s], ka[s], v[s], mask_a)
+        out_b = mha(qb[s], kb[s], v[s], mask_b)
+        out_b = jnp.where(b_rows, out_b, jnp.zeros_like(out_b))
+        o_ref[s] = ((out_a + out_b) * inv_count).astype(o_ref.dtype)
+
+
+def _two_phase_cell(batch: int, p_len: int, dm: int) -> int:
+    for n in (8, 4, 2, 1):
+        if batch % n:
+            continue
+        if n * p_len * dm * 2 * 14 <= 12 * 1024 * 1024:
+            return n
+    return 1
+
+
+def _two_phase_impl(qa, ka, qb, kb, v, num_heads: int, window: int):
+    b, p_len, dm = qa.shape
+    n = _two_phase_cell(b, p_len, dm)
+    spec = pl.BlockSpec((n, p_len, dm), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_two_phase_kernel, num_heads=num_heads, window=window),
+        out_shape=jax.ShapeDtypeStruct((b, p_len, dm), qa.dtype),
+        grid=(b // n,),
+        in_specs=[spec] * 5,
+        out_specs=spec,
+        interpret=_interpret(),
+    )(qa, ka, qb, kb, v)
+
+
+def _two_phase_reference(qa, ka, qb, kb, v, num_heads: int, window: int):
+    """jnp mirror of the two-phase kernel (backward + golden tests)."""
+    b, p_len, dm = qa.shape
+    hd = dm // num_heads
+    stride = window // 2
+
+    pr = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 1)
+    mask_a = pr // window == pc // window
+    in_band = (pc >= stride) & (pc < p_len - stride)
+    mask_b = ((pr - stride) // window == (pc - stride) // window) & in_band
+
+    def mha(q, k, mask):
+        qh = q.reshape(b, p_len, num_heads, hd).astype(jnp.float32) / math.sqrt(hd)
+        kh = k.reshape(b, p_len, num_heads, hd).astype(jnp.float32)
+        vh = v.reshape(b, p_len, num_heads, hd).astype(jnp.float32)
+        logits = jnp.einsum("bshd,bShd->bhsS", qh, kh)
+        logits = jnp.where(mask, logits, -1e30)
+        weights = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhsS,bShd->bshd", weights, vh).reshape(b, p_len, dm)
+
+    out_a = mha(qa, ka, mask_a)
+    out_b = mha(qb, kb, mask_b)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
+    b_rows = (rows >= stride) & (rows < p_len - stride)
+    out_b = jnp.where(b_rows, out_b, jnp.zeros_like(out_b))
+    inv = jnp.where(b_rows, 0.5, 1.0)
+    return ((out_a + out_b) * inv).astype(qa.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_local_two_phase(qa, ka, qb, kb, v, num_heads: int, window: int):
+    """Two-phase sliding-window attention with overlap averaging.
+
+    qa/ka: phase-A roped q/k; qb/kb: phase-B roped q/k; v shared.
+    All (B, P, H*hd) with P divisible by ``window``.  Returns the averaged
+    window-attention output in padded coordinates (B, P, H*hd)."""
+    return _two_phase_impl(qa, ka, qb, kb, v, num_heads, window)
+
+
+def _two_phase_fwd(qa, ka, qb, kb, v, num_heads, window):
+    out = _two_phase_impl(qa, ka, qb, kb, v, num_heads, window)
+    return out, (qa, ka, qb, kb, v)
+
+
+def _two_phase_bwd(num_heads, window, residuals, g):
+    qa, ka, qb, kb, v = residuals
+    _, vjp = jax.vjp(
+        lambda *a: _two_phase_reference(*a, num_heads=num_heads, window=window),
+        qa, ka, qb, kb, v,
+    )
+    return vjp(g)
+
+
+fused_local_two_phase.defvjp(_two_phase_fwd, _two_phase_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Natural-layout kernel with RoPE fused in: q/k arrive straight from their
 # projections (unroped, (G, S, H*hd)); the per-head halves rotation happens in
 # VMEM, eliminating the XLA rope ops and their head-reshape relayouts.

@@ -80,9 +80,12 @@ def shard_params(params, mesh: Mesh, ensemble: bool = False):
     return jax.device_put(params, sharding)
 
 
-def host_local_batch_to_global(batch, mesh: Mesh):
-    """Multi-host: assemble per-host shards into a global batch array."""
-    spec = P(DATA_AXIS)
+def host_local_batch_to_global(batch, mesh: Mesh, leading_axes: int = 0):
+    """Multi-host: assemble per-host shards into a global batch array.
+
+    ``leading_axes`` unsharded axes precede the data-sharded batch axis
+    (e.g. 1 for the (accum, batch, ...) minibatch layout)."""
+    spec = P(*([None] * leading_axes), DATA_AXIS)
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(
             NamedSharding(mesh, spec), np.asarray(x)

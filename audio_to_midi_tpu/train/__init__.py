@@ -1,4 +1,4 @@
-from . import checkpoint, ensemble, evaluate, loop, loss, optim, step
+from . import checkpoint, ensemble, evaluate, init_surgery, loop, loss, optim, step
 from .checkpoint import (
     check_metadata,
     create_checkpoint_manager,

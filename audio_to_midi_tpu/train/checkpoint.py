@@ -45,8 +45,10 @@ def create_checkpoint_manager(
     )
 
 
-def save_checkpoint(manager: ocp.CheckpointManager, step: int, params, state) -> bool:
-    if not manager.should_save(step):
+def save_checkpoint(
+    manager: ocp.CheckpointManager, step: int, params, state, force: bool = False
+) -> bool:
+    if not force and not manager.should_save(step):
         return False
     manager.save(
         step,
@@ -54,6 +56,7 @@ def save_checkpoint(manager: ocp.CheckpointManager, step: int, params, state) ->
             params=ocp.args.StandardSave(params),
             state=ocp.args.StandardSave(state if state else {"_empty": 0}),
         ),
+        force=force,
     )
     return True
 

@@ -10,7 +10,7 @@ at once instead of the reference's window-at-a-time pretend-batch-of-1 loop.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 from pathlib import Path
 from typing import Any
 
@@ -26,8 +26,16 @@ from ..models.rope import RopeFreqs
 from .loss import sigmoid_bce_sum
 
 
-@lru_cache(maxsize=4)
-def _load_test_set_cached(testset_dir: str, num_frames: int, sample_rate: int, duration: float):
+# Byte-budget cache (reference train.py:75-84 uses a bare lru_cache(4); a
+# long testset of windows can be GBs, so bound by SIZE as well as count —
+# testsets above the per-entry budget are reloaded on every eval instead of
+# pinned in host RAM).
+_TESTSET_CACHE: dict[tuple, list] = {}
+_TESTSET_CACHE_MAX_ENTRIES = 4
+_TESTSET_CACHE_ENTRY_BUDGET = 2 * 1024**3  # bytes
+
+
+def _load_test_set_uncached(testset_dir: str, num_frames: int, sample_rate: int, duration: float):
     names = loader.load_sample_names(testset_dir)
     batches = []
     for name in names:
@@ -35,6 +43,19 @@ def _load_test_set_cached(testset_dir: str, num_frames: int, sample_rate: int, d
             testset_dir, [name], sample_rate, duration, num_frames, skip_cache=True
         )
         batches.append((name, np.stack(audio), np.stack(events)))
+    return batches
+
+
+def _load_test_set_cached(testset_dir: str, num_frames: int, sample_rate: int, duration: float):
+    key = (testset_dir, num_frames, sample_rate, duration)
+    if key in _TESTSET_CACHE:
+        return _TESTSET_CACHE[key]
+    batches = _load_test_set_uncached(testset_dir, num_frames, sample_rate, duration)
+    nbytes = sum(a.nbytes + e.nbytes for _, a, e in batches)
+    if nbytes <= _TESTSET_CACHE_ENTRY_BUDGET:
+        while len(_TESTSET_CACHE) >= _TESTSET_CACHE_MAX_ENTRIES:
+            _TESTSET_CACHE.pop(next(iter(_TESTSET_CACHE)))
+        _TESTSET_CACHE[key] = batches
     return batches
 
 

@@ -204,4 +204,10 @@ def train(
                 # the moments of the slot it replaced, which re-converge
                 # within ~beta2 horizon and avoid a cold-start LR spike.
 
+    # Final save so short runs (< save interval) still leave a usable
+    # checkpoint; skipped if the last step already saved or no step ran.
+    if checkpoint_manager is not None and step >= start_step:
+        if checkpoint_manager.latest_step() != step:
+            ckpt.save_checkpoint(checkpoint_manager, step, params, state, force=True)
+
     return params, state, opt_state

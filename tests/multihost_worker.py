@@ -1,0 +1,111 @@
+"""Two-process jax.distributed smoke worker (driven by
+tests/test_multihost.py).  Each process owns 4 virtual CPU devices; together
+they form an 8-device DP mesh.  One DP train step runs on a global batch
+assembled from per-host shards; the resulting param digest is printed so the
+parent can assert both hosts hold identical params (the GSPMD all-reduce over
+DCN did its job).
+
+Usage: python multihost_worker.py <coordinator> <num_processes> <process_id>
+"""
+
+import hashlib
+import sys
+
+import numpy as np
+
+
+def main(coordinator: str, num_processes: int, process_id: int) -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_threefry_partitionable", True)
+
+    from audio_to_midi_tpu.parallel.mesh import (
+        batch_spec,
+        host_local_batch_to_global,
+        initialize_multihost,
+        make_mesh,
+        shard_params,
+    )
+
+    initialize_multihost(coordinator, num_processes, process_id)
+    assert jax.process_count() == num_processes, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+    assert len(jax.local_devices()) == 4, len(jax.local_devices())
+
+    import jax.numpy as jnp
+
+    from audio_to_midi_tpu.config import (
+        Config,
+        DataConfig,
+        ModelConfig,
+        PrecisionConfig,
+        TrainConfig,
+    )
+    from audio_to_midi_tpu.models import model as model_lib
+    from audio_to_midi_tpu.train import (
+        make_train_step,
+        reshape_to_minibatches,
+        setup_optimizers,
+    )
+
+    cfg = Config(
+        model=ModelConfig(
+            dims=(4, 8),
+            depths=(1, 1),
+            num_transformer_layers=1,
+            num_transformer_heads=2,
+            attention_size=8,
+            compressed_attention_kv_size=8,
+            compressed_attention_q_size=8,
+            rope_max_positions=128,
+        ),
+        data=DataConfig(model_audio_length=1000 / 16000),
+        precision=PrecisionConfig(compute_dtype=jnp.float32),
+        train=TrainConfig(batch_size=8, minibatch_size_per_device=1),
+    )
+    mesh = make_mesh(1)  # (1, 8) global DP mesh
+    data_size = mesh.shape["data"]
+    rope = model_lib.make_rope(cfg.model)
+    num_frames = cfg.model.output_frames(cfg.data.samples_per_window)
+
+    params, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
+    params = shard_params(params, mesh)
+    tx, _ = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
+    opt_state = jax.vmap(tx.init)(params)
+    opt_state = shard_params(opt_state, mesh)
+    step = make_train_step(cfg, tx, rope, mesh=mesh, ensemble=True)
+
+    # Per-host shard: each host contributes half of the global batch of 8.
+    local = 8 // num_processes
+    key = jax.random.PRNGKey(100 + process_id)
+    audio_local = np.asarray(
+        jax.random.normal(key, (local, 2, cfg.data.samples_per_window), jnp.float32)
+    )
+    labels_local = np.zeros((local, num_frames, cfg.model.output_vocab), np.float32)
+
+    # (accum=1, batch, ...) minibatch layout, assembled globally over "data".
+    audio_mb = host_local_batch_to_global(audio_local[None], mesh, leading_axes=1)
+    labels_mb = host_local_batch_to_global(labels_local[None], mesh, leading_axes=1)
+
+    out = step(
+        params, opt_state, audio_mb, labels_mb, jax.random.PRNGKey(2),
+        jnp.asarray(1.0, jnp.float32),
+    )
+    loss = jax.block_until_ready(out.loss)
+    assert np.all(np.isfinite(np.asarray(loss))), loss
+
+    # Digest the updated params: replicated leaves hold the full value in
+    # every local shard, so addressable_data(0) is the whole array.
+    digest = hashlib.sha256()
+    for leaf in jax.tree.leaves(out.params):
+        arr = np.asarray(leaf.addressable_data(0))
+        digest.update(np.ascontiguousarray(arr).tobytes())
+    print(f"PARAMS_DIGEST {digest.hexdigest()}", flush=True)
+    print(f"LOSS {float(np.asarray(loss)[0]):.6f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+
+    sys.exit(main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3])))

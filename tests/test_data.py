@@ -148,6 +148,21 @@ def test_grain_loader(dataset):
     assert events.shape == (2, 250, 90)
 
 
+@pytest.mark.slow
+def test_grain_loader_multiprocess_prefetch(dataset):
+    """num_workers > 0 exercises the grain MultiprocessingOptions prefetch
+    branch (loader.py) — workers must pickle the settings and produce the
+    same batch geometry as the in-process path."""
+    d, names = dataset
+    it = loader.create_dataset_loader(
+        d, batch_size=2, num_workers=1, num_epochs=2, output_divisions=250
+    )
+    events, audio = next(it)
+    assert audio.shape == (2, 2, 80000)
+    assert events.shape == (2, 250, 90)
+    assert np.isfinite(np.asarray(audio, np.float32)).all()
+
+
 def test_slice_full_audio(dataset):
     d, names = dataset
     f = loader.resolve_audio_file(d / names[0])

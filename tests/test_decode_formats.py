@@ -1,0 +1,187 @@
+"""Decode-format coverage beyond WAV: native AIFF (python + C++ agreement),
+the AAC/ffmpeg fallback's delay-trim command construction, and the legacy
+spectrogram frontend (fft_audio).
+
+Reference: the datasets are `.aac`/`.aif` (python.rs:412-421) with a
+2*1024-sample AAC encoder-delay trim (python.rs:183-191)."""
+
+import shutil
+import struct
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from audio_to_midi_tpu.data import audio_io
+from audio_to_midi_tpu import native
+
+
+def _tone(seconds=0.5, rate=16000):
+    t = np.arange(int(seconds * rate)) / rate
+    left = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    right = 0.25 * np.sin(2 * np.pi * 220.0 * t)
+    return np.stack([left, right]).astype(np.float32)
+
+
+def test_aiff_roundtrip_python(tmp_path):
+    x = _tone()
+    f = tmp_path / "tone.aif"
+    audio_io.write_aiff(f, x, 16000)
+    decoded, rate = audio_io._decode_aiff(f.read_bytes())
+    assert rate == 16000
+    assert decoded.shape == x.shape
+    np.testing.assert_allclose(decoded, x, atol=2.5 / 32768)
+
+
+def test_aiff_decode_via_public_api(tmp_path):
+    x = _tone()
+    f = tmp_path / "tone.aiff"
+    audio_io.write_aiff(f, x, 16000)
+    decoded = audio_io.decode_audio(f, 16000)
+    np.testing.assert_allclose(decoded, x, atol=2.5 / 32768)
+
+
+def test_aiff_decode_resamples(tmp_path):
+    """AIFF at 32 kHz decoded at 16 kHz goes through the host resampler."""
+    x = _tone(rate=32000)
+    f = tmp_path / "tone32k.aif"
+    audio_io.write_aiff(f, x, 32000)
+    decoded = audio_io.decode_audio(f, 16000)
+    assert decoded.shape == (2, x.shape[1] // 2)
+
+
+@pytest.mark.skipif(not native.available(), reason="native library unavailable")
+def test_aiff_cpp_matches_python(tmp_path):
+    """C++ decode_aiff (cpp/a2m_native.cpp:252) agrees with the python decoder."""
+    x = _tone()
+    f = tmp_path / "tone.aif"
+    audio_io.write_aiff(f, x, 16000)
+    py = audio_io.decode_audio(f, 16000)
+    cpp = native.decode_audio(f, 16000)
+    np.testing.assert_allclose(cpp, py, atol=1e-6)
+
+
+def test_aiff_sowt_little_endian():
+    """AIFC with 'sowt' compression stores little-endian PCM."""
+    x = _tone(seconds=0.05)
+    pcm = (np.clip(x, -1, 1).T * 32767.0).astype("<i2").tobytes()
+    channels, nframes = x.shape
+    comm = (
+        struct.pack(">HIH", channels, nframes, 16)
+        + audio_io._write_extended80(16000.0)
+        + b"sowt"
+        + b"\x00\x00"  # pstring compression name (empty, padded)
+    )
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (
+        b"AIFC"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    data = b"FORM" + struct.pack(">I", len(body)) + body
+    decoded, rate = audio_io._decode_aiff(data)
+    assert rate == 16000
+    np.testing.assert_allclose(decoded, x, atol=2.5 / 32768)
+
+
+def test_aac_ffmpeg_command_construction(monkeypatch, tmp_path):
+    """The ffmpeg fallback builds the reference's channel-split + AAC
+    delay-trim filter graph (python.rs:173-266) and reads back both raw
+    streams."""
+    calls = {}
+
+    def fake_probe(path):
+        return 44100.0
+
+    def fake_run(cmd, capture_output=True, check=True, **kw):
+        calls["cmd"] = cmd
+        # ffmpeg writes the two raw files; fake 100 samples each.
+        for i, tok in enumerate(cmd):
+            if isinstance(tok, str) and tok.endswith(".raw"):
+                np.full(100, 0.25, np.float32).tofile(tok)
+        return subprocess.CompletedProcess(cmd, 0, b"", b"")
+
+    monkeypatch.setattr(audio_io, "_ffprobe_sample_rate", fake_probe)
+    monkeypatch.setattr(audio_io.subprocess, "run", fake_run)
+
+    out = audio_io._decode_via_ffmpeg("/tmp/fake_song.aac", 16000)
+    assert out.shape == (2, 100)
+    cmd = " ".join(calls["cmd"])
+    # AAC: decoder forced, delay trim = 2*1024 / source-rate on BOTH channels
+    assert "-c:a aac" in cmd
+    delay = (2 * 1024) / 44100.0
+    assert f"atrim=start={delay}" in cmd
+    assert "channelsplit=channel_layout=stereo" in cmd
+    assert "-ar 16000" in cmd and "f32le" in cmd
+
+
+def test_non_aac_ffmpeg_no_trim(monkeypatch):
+    """Non-AAC compressed input gets NO delay trim (python.rs:181-192)."""
+    calls = {}
+
+    def fake_run(cmd, capture_output=True, check=True, **kw):
+        calls["cmd"] = cmd
+        for tok in cmd:
+            if isinstance(tok, str) and tok.endswith(".raw"):
+                np.zeros(10, np.float32).tofile(tok)
+        return subprocess.CompletedProcess(cmd, 0, b"", b"")
+
+    monkeypatch.setattr(audio_io.subprocess, "run", fake_run)
+    audio_io._decode_via_ffmpeg("/tmp/fake.mp3", 16000)
+    cmd = " ".join(calls["cmd"])
+    assert "atrim" not in cmd and "-c:a aac" not in cmd
+
+
+@pytest.mark.skipif(shutil.which("ffmpeg") is None, reason="ffmpeg not installed")
+def test_aac_delay_trim_end_to_end(tmp_path):
+    """With a real ffmpeg: AAC-encode a tone, decode through the fallback,
+    and check the delay trim re-aligns the signal with the original."""
+    x = _tone(seconds=1.0)
+    wav = tmp_path / "tone.wav"
+    audio_io.write_wav(wav, x, 16000)
+    aac = tmp_path / "tone.aac"
+    subprocess.run(
+        ["ffmpeg", "-y", "-i", str(wav), "-c:a", "aac", str(aac)],
+        capture_output=True, check=True,
+    )
+    decoded = audio_io.decode_audio(aac, 16000)
+    n = min(decoded.shape[1], x.shape[1])
+    # Cross-correlation peak should be at (near) zero lag after the trim.
+    a = decoded[0, :n] - decoded[0, :n].mean()
+    b = x[0, :n] - x[0, :n].mean()
+    lags = np.arange(-400, 401)
+    corr = [float(np.dot(a[max(0, l): n + min(0, l)], b[max(0, -l): n - max(0, l)])) for l in lags]
+    best = int(lags[int(np.argmax(corr))])
+    assert abs(best) <= 64, best
+
+
+def test_fft_audio_frontend():
+    """Legacy spectrogram frontend (reference audio_to_midi_dataset.py:58-107):
+    geometry, peak-bin location, and agreement with a plain numpy STFT using
+    the reference's exp(-0.001 n) window and /180 scaling (closes SURVEY D4
+    coverage gap)."""
+    import jax.numpy as jnp
+
+    from audio_to_midi_tpu.ops.frontend import fft_audio
+
+    rate, ws, overlap = 16000, 2048, 0.5
+    t = np.arange(rate) / rate
+    tone = 0.5 * np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    spec = np.asarray(fft_audio(jnp.asarray(tone), ws, overlap))
+
+    hop = int(ws * (1 - overlap))
+    num_frames = (len(tone) - ws) // hop + 1
+    assert spec.shape == (ws // 2 + 1, num_frames)
+    assert np.all(np.isfinite(spec))
+
+    # Peak bin at 1 kHz.
+    peak_bin = int(np.argmax(spec.mean(axis=1)))
+    assert abs(peak_bin * rate / ws - 1000.0) < 2 * rate / ws
+
+    # Value parity with a plain numpy STFT.
+    window = np.exp(np.arange(ws) * -0.001)
+    ref = np.stack(
+        [np.abs(np.fft.rfft(tone[i * hop : i * hop + ws] * window)) for i in range(num_frames)]
+    ).T / 180.0
+    np.testing.assert_allclose(spec, ref, rtol=2e-3, atol=2e-4)
