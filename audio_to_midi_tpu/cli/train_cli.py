@@ -144,7 +144,9 @@ def main(argv=None) -> int:
         sample_rate=cfg.data.sample_rate,
         duration=cfg.data.model_audio_length,
         output_divisions=num_frames,
-        transform_settings=cfg.transforms,
+        # With on-device augmentation the loader feeds raw windows and the
+        # transforms run as a jitted TPU program per batch (train/loop.py).
+        transform_settings=None if cfg.train.augment_on_device else cfg.transforms,
     )
 
     testset_dirs = {}

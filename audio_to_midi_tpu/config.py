@@ -235,6 +235,11 @@ class TrainConfig:
     # attention projections & conv weights, N(0,0.01) conv biases.  The
     # reference keeps the call commented out (train.py:792) — off by default.
     use_custom_init: bool = False
+    # Run the nine train-time transforms on device (data/augment_device.py)
+    # instead of in the host loader — pair with a loader created WITHOUT
+    # transform_settings.  Same distributions as the host/Rust path, different
+    # RNG streams (JAX threefry).
+    augment_on_device: bool = False
 
 
 @dataclass(frozen=True)

@@ -124,6 +124,31 @@ def load_full_audio(file: str | Path, sample_rate: int = SAMPLE_RATE) -> np.ndar
 # ---------------------------------------------------------------------------
 
 
+# In-memory per-sample window memo: the windowing + label rasterization of a
+# sample is deterministic given (rate, duration, frames), and on a few-core
+# host redoing it every batch dominates the training feed (TRAINBENCH:
+# ~430 ms/step of the loader path was re-windowing already-decoded audio).
+# Bytes-capped FIFO; entries are READ-ONLY — every consumer copies (np.stack)
+# before mutating.  Thread-safe enough for the loader's daemon workers (dict
+# ops are atomic under the GIL; a lost race just recomputes).
+_WINDOW_MEMO: dict = {}
+_WINDOW_MEMO_BYTES = [0]
+_WINDOW_MEMO_BUDGET = int(os.environ.get("A2M_WINDOW_MEMO_BYTES", 2 * 1024**3))
+
+
+def _window_memo_put(key, value):
+    nbytes = sum(a.nbytes for a in value[0]) + sum(e.nbytes for e in value[1])
+    if nbytes > _WINDOW_MEMO_BUDGET:
+        return
+    while _WINDOW_MEMO and _WINDOW_MEMO_BYTES[0] + nbytes > _WINDOW_MEMO_BUDGET:
+        old = _WINDOW_MEMO.pop(next(iter(_WINDOW_MEMO)))
+        _WINDOW_MEMO_BYTES[0] -= sum(a.nbytes for a in old[0]) + sum(
+            e.nbytes for e in old[1]
+        )
+    _WINDOW_MEMO[key] = value
+    _WINDOW_MEMO_BYTES[0] += nbytes
+
+
 def load_events_and_audio(
     dataset_dir: str | Path,
     sample_names: list[str],
@@ -147,6 +172,17 @@ def load_events_and_audio(
     all_names: list[str] = []
     use_native = _use_native()
     for name in sample_names:
+        memo_key = (
+            str(dataset_dir), name, sample_rate, model_duration, num_model_outputs
+        )
+        cached = None if skip_cache else _WINDOW_MEMO.get(memo_key)
+        if cached is not None:
+            a, e, n_ = cached
+            all_audio.extend(a)
+            all_events.extend(e)
+            all_names.extend(n_)
+            continue
+        memo_start = len(all_audio)
         audio_path = resolve_audio_file(dataset_dir / name)
         audio = load_audio_sample(audio_path, sample_rate, skip_cache)
         if use_native:
@@ -178,6 +214,15 @@ def load_events_and_audio(
             all_audio.append(window)
             all_events.append(frame_events)
             all_names.append(f"{name}+{split}")
+        if not skip_cache:
+            _window_memo_put(
+                memo_key,
+                (
+                    all_audio[memo_start:],
+                    all_events[memo_start:],
+                    all_names[memo_start:],
+                ),
+            )
     return all_audio, all_events, all_names
 
 

@@ -149,48 +149,57 @@ def transcribe_file(
 ):
     """File -> (stitched probs, duration_per_frame, events).
 
-    Short files run the fully-fused model+stitch program; long files stream
-    their windows through the model in fixed-size batches (one compiled shape,
-    last batch padded) and stitch once at the end — bounded memory and the
-    batch size that benchmarks fastest on v5e.
+    The device does everything after decode: the raw audio transfers ONCE as
+    f16 (the reference's decode dtype, python.rs:236-264) and windowing,
+    model, crossfade stitch and eventization all run on-chip — for long files
+    the windows stream through the model in fixed-size batches (one compiled
+    shape, last batch padded).  Only the stitched probabilities and the dense
+    event tensors come back to the host.  (The previous host-side windowing
+    shipped overlapping f32 windows — 4.5x the bytes of the raw audio — over
+    the host->device link, which dominated serving latency on tunneled
+    setups; see SERVEBENCH.)
     """
-    from .data.loader import load_and_slice_full_audio
+    from .data.loader import load_full_audio
     from .ops.eventize import extract_events
+    from .ops.frontend import make_windows
 
-    windows, window_duration = load_and_slice_full_audio(
-        input_file,
-        overlap=overlap,
-        sample_rate=cfg.data.sample_rate,
-        window_duration=cfg.data.model_audio_length,
-    )
+    window_duration = cfg.data.model_audio_length
+    raw = load_full_audio(input_file, cfg.data.sample_rate)  # (2, N) f16-rounded
+    raw_dev = jnp.asarray(raw.astype(np.float16))
+    window_size = round(window_duration * cfg.data.sample_rate)
+    overlap_samples = round(overlap * cfg.data.sample_rate)
+    windows_dev = jax.jit(
+        make_windows, static_argnames=("window_size", "overlap_samples")
+    )(raw_dev, window_size=window_size, overlap_samples=overlap_samples)
+    # The transfer rides as f16; the model runs in the params' dtype (f32 for
+    # checkpoint-parity inference, reference infer.py:27-32).
+    param_dtype = jax.tree.leaves(params)[0].dtype
+    windows_dev = windows_dev.astype(param_dtype)
     rope = rope if rope is not None else model_lib.make_rope(cfg.model)
-    num_windows = windows.shape[0]
+    num_windows = windows_dev.shape[0]
 
     if num_windows <= max_windows_per_batch:
-        stitched = np.asarray(
-            predict_and_stitch_fused(
-                params, cfg.model, jnp.asarray(windows), rope, window_duration, overlap
-            )
+        stitched_dev = predict_and_stitch_fused(
+            params, cfg.model, windows_dev, rope, window_duration, overlap
         )
     else:
         chunks = []
         for lo in range(0, num_windows, max_windows_per_batch):
-            chunk = windows[lo : lo + max_windows_per_batch]
+            chunk = windows_dev[lo : lo + max_windows_per_batch]
             take = chunk.shape[0]
             if take < max_windows_per_batch:  # pad to the compiled shape
-                chunk = np.concatenate(
-                    [chunk, np.zeros((max_windows_per_batch - take, *chunk.shape[1:]), chunk.dtype)]
+                chunk = jnp.pad(
+                    chunk, ((0, max_windows_per_batch - take), (0, 0), (0, 0))
                 )
-            probs = _predict_windows(params, cfg.model, jnp.asarray(chunk), rope)
-            chunks.append(np.asarray(probs[:take], np.float32))
-        all_probs = np.concatenate(chunks)
+            probs = _predict_windows(params, cfg.model, chunk, rope)
+            chunks.append(probs[:take].astype(jnp.float32))
+        all_probs = jnp.concatenate(chunks)
         duration_per_frame = window_duration / all_probs.shape[1]
-        stitched = np.asarray(
-            stitch_probs(jnp.asarray(all_probs), overlap, duration_per_frame)
-        )
+        stitched_dev = stitch_probs(all_probs, overlap, duration_per_frame)
 
     duration_per_frame = window_duration / cfg.model.output_frames(
         int(window_duration * cfg.data.sample_rate)
     )
-    events = extract_events(stitched)
+    events = extract_events(stitched_dev)  # device scan; fetches dense events
+    stitched = np.asarray(stitched_dev, np.float32)
     return stitched, duration_per_frame, events

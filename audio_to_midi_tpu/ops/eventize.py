@@ -115,10 +115,14 @@ def extract_events_dense(probs: jax.Array):
         jnp.zeros((num_keys,), bool),
         jnp.zeros((num_keys,), jnp.int32),
     )
+    # unroll: the per-frame body is tiny VPU work; batching 8 frames per scan
+    # step cuts the sequential-step overhead ~8x on long files (the scan runs
+    # over tens of thousands of frames when eventizing whole recordings).
     (final_active, final_started), (fired, attack, duration) = jax.lax.scan(
         step,
         init,
         (p, rising, defer, jnp.arange(num_frames, dtype=jnp.int32)),
+        unroll=8,
     )
     return fired, attack, duration, final_active, final_started
 

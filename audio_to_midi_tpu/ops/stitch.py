@@ -69,5 +69,5 @@ def stitch_probs(
         return out, None
 
     is_first = jnp.arange(num_windows) == 0
-    out, _ = jax.lax.scan(body, out, (probs, jnp.asarray(bases), is_first))
+    out, _ = jax.lax.scan(body, out, (probs, jnp.asarray(bases), is_first), unroll=4)
     return out[:output_frames]

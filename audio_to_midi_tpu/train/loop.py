@@ -67,6 +67,19 @@ def train(
 
     train_step = make_train_step(cfg, tx, rope, mesh=mesh, ensemble=True)
 
+    # Optional on-device augmentation: the loader feeds RAW cached windows
+    # and the nine reference transforms (python.rs:566-932) run as one jitted
+    # TPU program per batch — the single-core host stops being the
+    # bottleneck (TRAINBENCH: host-side augment capped the loader path at
+    # ~1.3 steps/s where the device step sustains ~10).
+    device_augment = None
+    if cfg.train.augment_on_device and cfg.transforms is not None:
+        from ..data.augment_device import transform_for_training_device
+
+        device_augment = jax.jit(
+            lambda a, e, k: transform_for_training_device(a, e, cfg.transforms, k)
+        )
+
     start_step = (
         checkpoint_manager.latest_step() + 1
         if checkpoint_manager is not None and checkpoint_manager.latest_step() is not None
@@ -99,8 +112,15 @@ def train(
         if use_loss_scaling and step % cfg.train.recovery_snapshot_every == 0:
             recovery = (_copy_to_host(params), _copy_to_host(opt_state))
 
-        audio_mb = reshape_to_minibatches(jnp.asarray(audio), minibatch)
-        events_mb = reshape_to_minibatches(jnp.asarray(events), minibatch)
+        audio = jnp.asarray(audio)
+        events = jnp.asarray(events)
+        if device_augment is not None:
+            key, aug_key = jax.random.split(key)
+            audio, events = device_augment(
+                audio.astype(jnp.float32), events.astype(jnp.float32), aug_key
+            )
+        audio_mb = reshape_to_minibatches(audio, minibatch)
+        events_mb = reshape_to_minibatches(events, minibatch)
 
         out = train_step(
             params, opt_state, audio_mb, events_mb, step_key,
@@ -183,6 +203,13 @@ def train(
                     )
                     for i, fig in enumerate(figs):
                         summary_writer.add_figure(f"train/test-loss-{name}-{i}", fig, step)
+                if figs:
+                    # add_figure rendered them; release pyplot's references
+                    # (unbounded open figures leak host memory on long runs).
+                    import matplotlib.pyplot as plt
+
+                    for fig in figs:
+                        plt.close(fig)
             if summary_writer is not None:
                 summary_writer.flush()
 

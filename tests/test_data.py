@@ -182,3 +182,24 @@ def test_midi_write_read_roundtrip(tmp_path):
     assert (0, 60, "note_on") in notes
     assert (480, 60, "note_off") in notes  # 25 frames * 0.02 s = 0.5 s
     assert (960, 66, "note_on") in notes  # frame 50 * 0.02 s = 1 s = 960 ticks
+
+
+def test_window_memo(dataset):
+    """Per-sample window memo: repeat loads reuse the rasterized windows
+    (identity), skip_cache bypasses, and results are equal either way."""
+    d, names = dataset
+    loader._WINDOW_MEMO.clear()
+    loader._WINDOW_MEMO_BYTES[0] = 0
+    a1, e1, n1 = loader.load_events_and_audio(d, names[:1], 16000, 5.0, 250)
+    a2, e2, n2 = loader.load_events_and_audio(d, names[:1], 16000, 5.0, 250)
+    assert n1 == n2
+    assert all(x is y for x, y in zip(a1, a2))  # memo hit returns same arrays
+    a3, e3, n3 = loader.load_events_and_audio(
+        d, names[:1], 16000, 5.0, 250, skip_cache=True
+    )
+    assert not any(x is y for x, y in zip(a1, a3))
+    for x, y in zip(a1, a3):
+        np.testing.assert_array_equal(x, y)
+    for x, y in zip(e1, e3):
+        np.testing.assert_array_equal(x, y)
+    assert loader._WINDOW_MEMO_BYTES[0] > 0

@@ -76,3 +76,39 @@ def test_loop_with_eval_and_evolution(tmp_path):
     # called without ensemble=True, silently replicating params).
     for p in jax.tree.leaves(params):
         assert p.sharding.spec[0] == "ensemble", p.sharding
+
+
+@pytest.mark.slow
+def test_loop_with_device_augmentation(tmp_path):
+    """augment_on_device=True: loader feeds raw windows, the nine transforms
+    run as a jitted device program per batch, training proceeds normally."""
+    d = tmp_path / "data"
+    synthetic.make_synthetic_dataset(d, num_samples=2, duration_s=0.6,
+                                     notes_per_sample=2, seed=12)
+    cfg = dataclasses.replace(
+        E2E_CFG,
+        train=dataclasses.replace(
+            E2E_CFG.train, num_steps=2, augment_on_device=True,
+        ),
+    )
+    assert cfg.transforms is not None
+    num_frames = cfg.model.output_frames(cfg.data.samples_per_window)
+    mesh = make_mesh(1)
+    rope = model_lib.make_rope(cfg.model)
+    params, state = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
+    params = shard_params(params, mesh)
+    tx, sched = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
+    opt_state = jax.vmap(tx.init)(params)
+
+    dl = loader.create_dataset_loader(
+        d, batch_size=cfg.train.batch_size, num_workers=0, num_epochs=10**6,
+        sample_rate=cfg.data.sample_rate, duration=cfg.data.model_audio_length,
+        output_divisions=num_frames, use_grain=False,
+        transform_settings=None,  # raw windows; transforms happen on device
+    )
+    params, state, opt_state = loop.train(
+        cfg, params, state, tx, opt_state, dl, None, sched, rope,
+        num_frames, mesh=mesh,
+    )
+    leaf = np.asarray(jax.tree.leaves(params)[0])
+    assert np.isfinite(leaf).all()
