@@ -225,8 +225,79 @@ def _fused_pair_bwd(cfg, valid_len, pad_l, residuals, g):
 _fused_pair.defvjp(_fused_pair_fwd, _fused_pair_bwd)
 
 
+# --- fused attention-sublayer path (ops/pallas_sublayer.py) ---------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_local_sub(xp, p, rope, cfg: ModelConfig, valid_len: int, pad_l: int):
+    from ..ops import pallas_sublayer
+
+    tables = _pair_rope_tables(rope, cfg, xp.shape[1], pad_l)
+    return pallas_sublayer.fused_local_sublayer(
+        xp,
+        pallas_sublayer.sublayer_weights(p["attention_norm"], p["attention"], xp.dtype),
+        tables[:4],
+        num_heads=cfg.num_transformer_heads,
+        valid_len=valid_len,
+        pad_l=pad_l,
+        window=cfg.local_context_window,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_global_sub(xp, p, rope, cfg: ModelConfig, valid_len: int, pad_l: int):
+    from ..ops import pallas_sublayer
+
+    tables = _pair_rope_tables(rope, cfg, xp.shape[1], pad_l)
+    return pallas_sublayer.fused_global_sublayer(
+        xp,
+        pallas_sublayer.sublayer_weights(p["attention_norm"], p["attention"], xp.dtype),
+        tables[4:],
+        num_heads=cfg.num_transformer_heads,
+        valid_len=valid_len,
+        pad_l=pad_l,
+    )
+
+
+def _sub_xla(xp, p, rope, cfg: ModelConfig, valid_len: int, pad_l: int, local: bool):
+    """jnp mirror of a fused sublayer: crop -> pre-LN attention + residual ->
+    re-pad (rows outside the valid region stay exactly zero)."""
+    pad_r = xp.shape[1] - pad_l - valid_len
+    x = xp[:, pad_l : pad_l + valid_len]
+    xla_cfg = dataclasses.replace(cfg, attention_impl="xla")
+    normed = nn.layer_norm(x, p["attention_norm"])
+    if local:
+        r = local_self_attention(normed, p["attention"], rope, xla_cfg)
+    else:
+        r = self_attention(normed, p["attention"], rope, xla_cfg)
+    return jnp.pad(x + r, ((0, 0), (pad_l, pad_r), (0, 0)))
+
+
+def _make_sub_vjp(fused, local):
+    def fwd(xp, p, rope, cfg, valid_len, pad_l):
+        return fused(xp, p, rope, cfg, valid_len, pad_l), (xp, p, rope)
+
+    def bwd(cfg, valid_len, pad_l, residuals, g):
+        xp, p, rope = residuals
+        _, vjp = jax.vjp(
+            lambda xp, p: _sub_xla(xp, p, rope, cfg, valid_len, pad_l, local), xp, p
+        )
+        dxp, dp = vjp(g)
+        return dxp, dp, None
+
+    return fwd, bwd
+
+
+_fused_local_sub.defvjp(*_make_sub_vjp(_fused_local_sub, True))
+_fused_global_sub.defvjp(*_make_sub_vjp(_fused_global_sub, False))
+
+
 def _pair_kernel_applicable(cfg: ModelConfig, x: jax.Array, enable_dropout: bool) -> bool:
-    if cfg.attention_impl != "pallas_pair" or enable_dropout or x.ndim != 3:
+    if (
+        cfg.attention_impl not in ("pallas_pair", "pallas_fused")
+        or enable_dropout
+        or x.ndim != 3
+    ):
         return False
     s = x.shape[1]
     pad_l, pad_r = _local_padding(s, cfg.local_context_window)
@@ -260,6 +331,35 @@ def transformer_stack(
         s = x.shape[1]
         pad_l, pad_r = _local_padding(s, cfg.local_context_window)
         xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
+
+        if cfg.attention_impl == "pallas_fused":
+            # Per-sublayer fusion: attention sublayers run as single kernels
+            # (LN+proj+rope+attn+out-proj+residual); FFNs stay on XLA (they
+            # measure at ~87% MFU there) with the padding rows re-zeroed.
+            p_len = xp.shape[1]
+            col = jnp.arange(p_len)[None, :, None]
+            row_valid = (col >= pad_l) & (col < pad_l + s)
+
+            def ffn_sub(h, p):
+                normed = nn.layer_norm(h, p["ff_norm"])
+                r = feed_forward(
+                    normed, p["ff"], dropout_rate=0.0, key=None, enable_dropout=False
+                )
+                return h + jnp.where(row_valid, r, jnp.zeros_like(r))
+
+            @partial(
+                jax.checkpoint,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+            def fused_body(h, p):
+                h = _fused_local_sub(h, p["local"], rope, cfg, s, pad_l)
+                h = ffn_sub(h, p["local"])
+                h = _fused_global_sub(h, p["global"], rope, cfg, s, pad_l)
+                h = ffn_sub(h, p["global"])
+                return h, None
+
+            out, _ = jax.lax.scan(fused_body, xp, stacked)
+            return out[:, pad_l : pad_l + s]
 
         def pair_body(h, p):
             return _fused_pair(h, p, rope, cfg, s, pad_l), None

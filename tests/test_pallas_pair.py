@@ -113,3 +113,29 @@ def test_two_phase_local_attention_grads(seq_len=58):
     ga = jax.grad(loss)(x, CFG_XLA)
     gb = jax.grad(loss)(x, CFG_PALLAS)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=2e-4, atol=2e-4)
+
+
+CFG_FUSED = dataclasses.replace(CFG_XLA, attention_impl="pallas_fused")
+
+
+@pytest.mark.parametrize("seq_len", [64, 58])
+def test_fused_sublayer_stack_matches_xla(stack_setup, seq_len):
+    """pallas_fused: per-sublayer kernels (LN+proj+rope+attn+out-proj+res)."""
+    rope, stacked = stack_setup
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, seq_len, 128))
+    y_xla = transformer_stack(x, stacked, rope, CFG_XLA)
+    y_f = transformer_stack(x, stacked, rope, CFG_FUSED)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_xla), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_sublayer_grads_match_xla(stack_setup):
+    rope, stacked = stack_setup
+    x = jax.random.normal(jax.random.PRNGKey(13), (2, 58, 128))
+
+    def loss(params, cfg):
+        return jnp.sum(transformer_stack(x, params, rope, cfg) ** 2)
+
+    g_xla = jax.grad(loss)(stacked, CFG_XLA)
+    g_f = jax.grad(loss)(stacked, CFG_FUSED)
+    for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4)
