@@ -50,6 +50,8 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
 
+    import jax
+
     from ..config import load_config
     from ..infer import load_newest_checkpoint, predict_and_stitch, transcribe_file
     from ..models import model as model_lib
@@ -115,8 +117,15 @@ def main(argv=None) -> int:
         events = extract_events(stitched)
         duration_per_frame = dpf
     else:
+        # Multi-chip serving host: shard the window batches over all chips
+        # (params replicated); identical output to single-chip.
+        mesh = None
+        if len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(1)
         stitched, duration_per_frame, events = transcribe_file(
-            params, cfg, audio_file, overlap=args.overlap
+            params, cfg, audio_file, overlap=args.overlap, mesh=mesh
         )
 
     print(f"Stitched probs shape: {stitched.shape}")

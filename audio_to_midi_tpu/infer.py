@@ -88,17 +88,24 @@ def predict_and_stitch(
     return np.asarray(probs), np.asarray(stitched), duration_per_frame
 
 
-@partial(jax.jit, static_argnames=("cfg", "overlap", "window_duration"))
+@partial(
+    jax.jit, static_argnames=("cfg", "overlap", "window_duration", "valid_windows")
+)
 def predict_and_stitch_fused(
-    params, cfg, windows, rope, window_duration: float, overlap: float
+    params, cfg, windows, rope, window_duration: float, overlap: float,
+    valid_windows: Optional[int] = None,
 ):
     """Model forward + crossfade stitch as ONE compiled XLA program.
 
     The hot path for ``audio_to_midi`` file transcription: all windows batched
     onto the MXU, stitching fused behind them, one device round trip.
+    ``valid_windows``: when the batch is padded (e.g. to a whole per-device
+    shard on a serving mesh), only the first ``valid_windows`` windows stitch.
     """
     _logits, probs = model_lib.forward(params, cfg, windows, rope)
     probs = probs.astype(jnp.float32)
+    if valid_windows is not None and valid_windows < probs.shape[0]:
+        probs = probs[:valid_windows]
     duration_per_frame = window_duration / probs.shape[1]
     return stitch_probs(probs, overlap, duration_per_frame)
 
@@ -146,8 +153,14 @@ def transcribe_file(
     overlap: float = 0.5,
     rope: Optional[RopeFreqs] = None,
     max_windows_per_batch: int = 128,
+    mesh=None,
 ):
     """File -> (stitched probs, duration_per_frame, events).
+
+    ``mesh``: an optional ("ensemble", "data") jax.sharding.Mesh — the
+    window batches shard over "data" (params replicated) so a multi-chip
+    serving host transcribes one file across all its chips; the stitched
+    result is identical to single-chip.
 
     The device does everything after decode: the raw audio transfers ONCE as
     f16 (the reference's decode dtype, python.rs:236-264) and windowing,
@@ -178,9 +191,31 @@ def transcribe_file(
     rope = rope if rope is not None else model_lib.make_rope(cfg.model)
     num_windows = windows_dev.shape[0]
 
+    data_size = 1
+    if mesh is not None:
+        from .parallel.mesh import batch_spec, shard_params
+
+        data_size = mesh.shape["data"]
+        if data_size > 1:
+            params = shard_params(params, mesh)
+            # Chunks shard over "data": round the chunk size to the mesh.
+            max_windows_per_batch = max(
+                data_size, max_windows_per_batch // data_size * data_size
+            )
+
+    def place(chunk):
+        if mesh is None or data_size <= 1:
+            return chunk
+        return jax.device_put(chunk, batch_spec(mesh))
+
     if num_windows <= max_windows_per_batch:
+        short = windows_dev
+        if num_windows % data_size:  # pad to a whole per-device shard
+            pad_to = -(-num_windows // data_size) * data_size
+            short = jnp.pad(short, ((0, pad_to - num_windows), (0, 0), (0, 0)))
         stitched_dev = predict_and_stitch_fused(
-            params, cfg.model, windows_dev, rope, window_duration, overlap
+            params, cfg.model, place(short), rope, window_duration, overlap,
+            valid_windows=num_windows,
         )
     else:
         chunks = []
@@ -191,7 +226,7 @@ def transcribe_file(
                 chunk = jnp.pad(
                     chunk, ((0, max_windows_per_batch - take), (0, 0), (0, 0))
                 )
-            probs = _predict_windows(params, cfg.model, chunk, rope)
+            probs = _predict_windows(params, cfg.model, place(chunk), rope)
             chunks.append(probs[:take].astype(jnp.float32))
         all_probs = jnp.concatenate(chunks)
         duration_per_frame = window_duration / all_probs.shape[1]

@@ -17,6 +17,7 @@ from audio_to_midi_tpu.config import (
     TrainConfig,
 )
 from audio_to_midi_tpu.data import loader, synthetic
+from audio_to_midi_tpu import infer
 from audio_to_midi_tpu.models import model as model_lib
 from audio_to_midi_tpu.parallel import make_mesh, shard_params
 from audio_to_midi_tpu.train import (
@@ -150,3 +151,29 @@ def test_export_stablehlo():
     mlir = export_stablehlo(params, cfg, example_dtype=jnp.float32)
     assert "stablehlo" in mlir or "mhlo" in mlir
     assert "module" in mlir
+
+
+def test_transcribe_file_sharded_matches_single(dataset, tmp_path):
+    """Multi-chip serving: windows sharded over the mesh "data" axis produce
+    the same stitched probs and events as the unsharded path (both the padded
+    short path and the chunked long path)."""
+    d, names = dataset
+    cfg = E2E_CFG
+    rope = model_lib.make_rope(cfg.model)
+    params, _ = model_lib.init(jax.random.PRNGKey(0), cfg.model)
+    mesh = make_mesh(1)  # (1, 8): pure data-parallel serving
+    f = loader.resolve_audio_file(d / names[0])
+
+    # short path (windows <= max, padded to a whole shard)
+    s1, dpf1, e1 = infer.transcribe_file(params, cfg, f, rope=rope, overlap=0.1)
+    s2, dpf2, e2 = infer.transcribe_file(params, cfg, f, rope=rope, overlap=0.1, mesh=mesh)
+    assert dpf1 == dpf2
+    np.testing.assert_allclose(s2, s1, rtol=2e-5, atol=2e-6)
+    assert e1 == e2
+
+    # chunked path: force tiny chunks so several sharded batches run
+    s3, _, e3 = infer.transcribe_file(
+        params, cfg, f, rope=rope, overlap=0.1, mesh=mesh, max_windows_per_batch=2
+    )
+    np.testing.assert_allclose(s3, s1, rtol=2e-5, atol=2e-6)
+    assert e3 == e1

@@ -1,0 +1,156 @@
+"""Export glue logic exercised with MOCKED converter deps — coremltools /
+stablehlo_coreml / tensorflow are absent in this environment, so these tests
+verify everything on OUR side of the boundary (reference export.py:27-74
+semantics): the StableHLO module fed in, the pass-pipeline removals, the
+deployment target, the feature renames, and the save call."""
+
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audio_to_midi_tpu import export
+from audio_to_midi_tpu.config import Config, DataConfig, ModelConfig, PrecisionConfig
+from audio_to_midi_tpu.models import model as model_lib
+
+CFG = Config(
+    model=ModelConfig(
+        dims=(4, 8),
+        depths=(1, 1),
+        num_transformer_layers=1,
+        num_transformer_heads=2,
+        attention_size=8,
+        compressed_attention_kv_size=8,
+        compressed_attention_q_size=8,
+        rope_max_positions=128,
+    ),
+    data=DataConfig(model_audio_length=1000 / 16000),
+    precision=PrecisionConfig(compute_dtype=jnp.float32),
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return model_lib.init(jax.random.PRNGKey(0), CFG.model)[0]
+
+
+def test_coreml_conversion_glue(params, tmp_path, monkeypatch):
+    calls = {}
+
+    class FakePipeline:
+        def __init__(self):
+            self.removed = []
+
+        def remove_passes(self, names):
+            self.removed.extend(names)
+
+    pipeline = FakePipeline()
+
+    class FakeTarget:
+        iOS18 = "iOS18"
+
+    class FakeSpec:
+        pass
+
+    class FakeModel:
+        weights_dir = "/tmp/w"
+        input_description = ["input_0"]
+        output_description = ["out_0", "out_1"]
+
+        def get_spec(self):
+            return FakeSpec()
+
+        def save(self, path):
+            calls["saved"] = path
+
+    fake_model = FakeModel()
+
+    def fake_ct_convert(mil, source=None, minimum_deployment_target=None, pass_pipeline=None):
+        calls["source"] = source
+        calls["target"] = minimum_deployment_target
+        calls["pipeline"] = pass_pipeline
+        return fake_model
+
+    def fake_rename(spec, old, new):
+        calls.setdefault("renames", []).append((old, new))
+
+    ct = types.ModuleType("coremltools")
+    ct.target = FakeTarget
+    ct.convert = fake_ct_convert
+    ct.utils = types.SimpleNamespace(rename_feature=fake_rename)
+    ct.models = types.SimpleNamespace(
+        model=types.SimpleNamespace(MLModel=lambda spec, weights_dir=None: fake_model)
+    )
+
+    shc = types.ModuleType("stablehlo_coreml")
+    shc.DEFAULT_HLO_PIPELINE = pipeline
+    shc_conv = types.ModuleType("stablehlo_coreml.converter")
+
+    def fake_convert(hlo_module, minimum_deployment_target=None):
+        # The module must be real parsed StableHLO from jax.export.
+        calls["hlo"] = str(hlo_module)[:2000]
+        calls["mil_target"] = minimum_deployment_target
+        return "MIL"
+
+    shc_conv.convert = fake_convert
+    shc.converter = shc_conv
+
+    monkeypatch.setitem(sys.modules, "coremltools", ct)
+    monkeypatch.setitem(sys.modules, "stablehlo_coreml", shc)
+    monkeypatch.setitem(sys.modules, "stablehlo_coreml.converter", shc_conv)
+
+    out = tmp_path / "Audio2Midi.mlpackage"
+    export.export_model_to_coreml(params, CFG, out)
+
+    # Reference export.py:41-43: both passes removed.
+    assert pipeline.removed == ["common::add_fp16_cast", "common::const_elimination"]
+    assert calls["target"] == "iOS18" and calls["mil_target"] == "iOS18"
+    assert calls["source"] == "milinternal"
+    # Real StableHLO reached the converter.
+    assert "stablehlo" in calls["hlo"] or "module" in calls["hlo"]
+    # Feature renames: samples / logits / probs (reference export.py:65-69).
+    assert ("input_0", "samples") in calls["renames"]
+    assert ("out_0", "logits") in calls["renames"]
+    assert ("out_1", "probs") in calls["renames"]
+    assert calls["saved"] == str(out)
+
+
+def test_coreml_clean_error_without_deps(params):
+    assert "coremltools" not in sys.modules
+    with pytest.raises(ImportError, match="CoreML export requires"):
+        export.export_model_to_coreml(params, CFG)
+
+
+@pytest.mark.slow
+def test_tflite_export_end_to_end(params, tmp_path):
+    """tensorflow IS available here: run the full JAX -> TF -> TFLite
+    conversion and check the interpreter's output against the jax forward
+    (BASELINE export-parity leg)."""
+    tf = pytest.importorskip("tensorflow")
+    import numpy as np
+
+    out = tmp_path / "m.tflite"
+    export.export_tflite(params, CFG, out)
+    assert out.exists() and out.stat().st_size > 1000
+
+    interp = tf.lite.Interpreter(model_path=str(out))
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, CFG.data.samples_per_window), np.float32) * 0.1
+    interp.set_tensor(inp["index"], x)
+    interp.invoke()
+    outs = sorted(interp.get_output_details(), key=lambda d: d["index"])
+    got = [interp.get_tensor(d["index"]) for d in outs]
+
+    rope = model_lib.make_rope(CFG.model)
+    logits, probs = model_lib.predict(params, CFG.model, jnp.asarray(x), rope)
+    want = [np.asarray(logits), np.asarray(probs)]
+    # match by shape (output ordering may differ)
+    for w in want:
+        match = [g for g in got if g.shape == w.shape]
+        assert match, (w.shape, [g.shape for g in got])
+        best = min(float(np.max(np.abs(g - w))) for g in match)
+        assert best < 5e-4, best
