@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops import pallas_pair
-from ..ops.pallas_attention import _round_up
+
 from . import nn
 from .attention import (
     _local_padding,

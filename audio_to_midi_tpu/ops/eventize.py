@@ -144,7 +144,9 @@ def extract_events(
     fired, attack, duration, final_active, final_started = jax.tree.map(
         np.asarray, extract_events_dense(probs)
     )
-    probs_np = np.asarray(probs, np.float32)
+    # Only the real-velocity extension needs the probabilities on the host;
+    # the parity default (velocity 7) skips that fetch entirely.
+    probs_np = np.asarray(probs, np.float32) if real_velocity else None
 
     def velocity(a: int, d: int, k: int) -> int:
         if not real_velocity:

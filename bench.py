@@ -86,7 +86,7 @@ def main() -> int:
         devices = []
 
     best = 0.0
-    for batch_size in (64, 128, 256):
+    for batch_size in (64, 96, 128, 160, 192, 256):
         try:
             best = max(best, bench_forward(batch_size))
         except Exception as e:  # OOM at large batch etc.

@@ -74,27 +74,68 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from audio_to_midi_tpu.config import Config
+    from audio_to_midi_tpu.config import Config, TrainConfig
     from audio_to_midi_tpu.models import model as model_lib
 
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="a2m_trace_")
-    cfg = Config()
-    rope = model_lib.make_rope(cfg.model)
-    params, _ = model_lib.init(jax.random.PRNGKey(0), cfg.model)
-    params = model_lib.cast_params(params, jnp.bfloat16)
-    audio = jax.random.normal(
-        jax.random.PRNGKey(1), (args.batch, 2, cfg.data.samples_per_window), jnp.bfloat16
+    cfg = Config(
+        train=TrainConfig(batch_size=args.batch, minibatch_size_per_device=8)
     )
+    rope = model_lib.make_rope(cfg.model)
 
-    @jax.jit
-    def fwd(params, audio):
-        return model_lib.forward(params, cfg.model, audio, rope)[1]
+    if args.train:
+        from audio_to_midi_tpu.parallel.mesh import make_mesh, shard_params
+        from audio_to_midi_tpu.train import (
+            make_train_step,
+            reshape_to_minibatches,
+            setup_optimizers,
+        )
 
-    jax.block_until_ready(fwd(params, audio))  # compile outside the trace
-    with jax.profiler.trace(trace_dir):
-        for _ in range(3):
-            out = fwd(params, audio)
-        jax.block_until_ready(out)
+        mesh = make_mesh(1)
+        nf = cfg.model.output_frames(cfg.data.samples_per_window)
+        params, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
+        params = shard_params(params, mesh)
+        tx, _ = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
+        opt = shard_params(jax.vmap(tx.init)(params), mesh)
+        step = make_train_step(cfg, tx, rope, mesh=mesh, ensemble=True)
+        mb = min(8 * len(jax.devices()), args.batch)
+        audio = jax.random.normal(
+            jax.random.PRNGKey(1),
+            (args.batch, 2, cfg.data.samples_per_window), jnp.float32,
+        )
+        labels = jnp.zeros((args.batch, nf, cfg.model.output_vocab), jnp.float32)
+        amb = reshape_to_minibatches(audio, mb)
+        lmb = reshape_to_minibatches(labels, mb)
+        scale = jnp.asarray(1.0, cfg.precision.compute_dtype)
+        out = step(params, opt, amb, lmb, jax.random.PRNGKey(2), scale)
+        jax.block_until_ready(out.loss)  # compile #1
+        # The updated params' sharding layout can differ from the initial
+        # placement, triggering a second compile on the next call — warm it
+        # too so the trace holds only steady-state steps.
+        out = step(out.params, out.opt_state, amb, lmb, jax.random.PRNGKey(2), scale)
+        jax.block_until_ready(out.loss)
+        with jax.profiler.trace(trace_dir):
+            for i in range(3):
+                out = step(
+                    out.params, out.opt_state, amb, lmb, jax.random.PRNGKey(3 + i), scale
+                )
+            jax.block_until_ready(out.loss)
+    else:
+        params, _ = model_lib.init(jax.random.PRNGKey(0), cfg.model)
+        params = model_lib.cast_params(params, jnp.bfloat16)
+        audio = jax.random.normal(
+            jax.random.PRNGKey(1), (args.batch, 2, cfg.data.samples_per_window), jnp.bfloat16
+        )
+
+        @jax.jit
+        def fwd(params, audio):
+            return model_lib.forward(params, cfg.model, audio, rope)[1]
+
+        jax.block_until_ready(fwd(params, audio))  # compile outside the trace
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                out = fwd(params, audio)
+            jax.block_until_ready(out)
     print("trace written to", trace_dir)
     parse_xplane(trace_dir, args.top)
     return 0
