@@ -188,6 +188,9 @@ def self_attention(
     enable_dropout: bool = False,
 ) -> jax.Array:
     """Global compressed-KV attention.  x: (..., S, D) -> same shape."""
+    # Dropout only gates the kernel paths when it actually does something —
+    # rate 0.0 (or inference) keeps the fast kernels even in training.
+    enable_dropout = enable_dropout and cfg.transformer_dropout_rate > 0
     if cfg.attention_impl == "pallas_block" and not enable_dropout and x.ndim == 3:
         # Whole-block megakernel (proj+rope+attn+out-proj in one kernel).
         # Measured slightly slower than "pallas" at B=128 on v5e (per-sample
@@ -229,6 +232,7 @@ def local_self_attention(
 
     x: (B, S, D) -> (B, S, D).
     """
+    enable_dropout = enable_dropout and cfg.transformer_dropout_rate > 0
     b, seq_len, d = x.shape
     window = cfg.local_context_window
     stride = window // 2

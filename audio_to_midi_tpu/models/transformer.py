@@ -293,9 +293,10 @@ _fused_global_sub.defvjp(*_make_sub_vjp(_fused_global_sub, False))
 
 
 def _pair_kernel_applicable(cfg: ModelConfig, x: jax.Array, enable_dropout: bool) -> bool:
+    # Dropout only blocks the kernel paths when the rate is non-zero.
     if (
         cfg.attention_impl not in ("pallas_pair", "pallas_fused")
-        or enable_dropout
+        or (enable_dropout and cfg.transformer_dropout_rate > 0)
         or x.ndim != 3
     ):
         return False
