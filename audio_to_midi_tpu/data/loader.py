@@ -137,11 +137,16 @@ _WINDOW_MEMO_BUDGET = int(os.environ.get("A2M_WINDOW_MEMO_BYTES", 2 * 1024**3))
 
 
 def _window_memo_put(key, value):
+    if key in _WINDOW_MEMO:  # concurrent worker computed it first
+        return
     nbytes = sum(a.nbytes for a in value[0]) + sum(e.nbytes for e in value[1])
     if nbytes > _WINDOW_MEMO_BUDGET:
         return
     while _WINDOW_MEMO and _WINDOW_MEMO_BYTES[0] + nbytes > _WINDOW_MEMO_BUDGET:
-        old = _WINDOW_MEMO.pop(next(iter(_WINDOW_MEMO)))
+        try:
+            old = _WINDOW_MEMO.pop(next(iter(_WINDOW_MEMO)))
+        except (KeyError, RuntimeError):  # racing eviction from another worker
+            continue
         _WINDOW_MEMO_BYTES[0] -= sum(a.nbytes for a in old[0]) + sum(
             e.nbytes for e in old[1]
         )

@@ -66,9 +66,17 @@ def load_newest_checkpoint(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",))
 def _predict_windows(params, cfg, windows, rope):
     _logits, probs = model_lib.forward(params, cfg, windows, rope)
     return probs
+
+
+@partial(jax.jit, static_argnames=("window_size", "overlap_samples"))
+def _make_windows_jit(samples, *, window_size: int, overlap_samples: int):
+    from .ops.frontend import make_windows
+
+    return make_windows(samples, window_size, overlap_samples)
 
 
 def predict_and_stitch(
@@ -174,16 +182,15 @@ def transcribe_file(
     """
     from .data.loader import load_full_audio
     from .ops.eventize import extract_events
-    from .ops.frontend import make_windows
 
     window_duration = cfg.data.model_audio_length
     raw = load_full_audio(input_file, cfg.data.sample_rate)  # (2, N) f16-rounded
     raw_dev = jnp.asarray(raw.astype(np.float16))
     window_size = round(window_duration * cfg.data.sample_rate)
     overlap_samples = round(overlap * cfg.data.sample_rate)
-    windows_dev = jax.jit(
-        make_windows, static_argnames=("window_size", "overlap_samples")
-    )(raw_dev, window_size=window_size, overlap_samples=overlap_samples)
+    windows_dev = _make_windows_jit(
+        raw_dev, window_size=window_size, overlap_samples=overlap_samples
+    )
     # The transfer rides as f16; the model runs in the params' dtype (f32 for
     # checkpoint-parity inference, reference infer.py:27-32).
     param_dtype = jax.tree.leaves(params)[0].dtype
