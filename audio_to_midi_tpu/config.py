@@ -88,9 +88,13 @@ class ModelConfig:
     # "pallas_pair": transformer-PAIR megakernel (ops/pallas_pair.py) — a full
     # alternating local+global pair (4 sublayers incl. FFNs and residuals) per
     # kernel, several samples per grid cell, everything VMEM-resident.
-    # "xla": einsum formulation.  All are differentiable; paths with
-    # attention-weight dropout (and geometries the pair kernel doesn't
-    # support) fall back automatically.
+    # "pallas_rw": like "pallas" but the local windows run the reduced-width
+    # kernel — per-window (16, 16) logits tiles + (P, 16) softmax instead of
+    # one masked (P, P) matmul (ops/pallas_attention.fused_local_two_phase_rw).
+    # "xla": einsum formulation.  All are differentiable; attention-weight
+    # dropout rides into the kernels as precomputed uint8 bits
+    # (rate quantized to 1/256), so the reference-parity training config
+    # keeps the fast kernels; unsupported geometries fall back automatically.
     attention_impl: str = "pallas"
 
     # "pallas": small-C early stages (C < 64) run in the packed
@@ -238,8 +242,24 @@ class TrainConfig:
     # Run the nine train-time transforms on device (data/augment_device.py)
     # instead of in the host loader — pair with a loader created WITHOUT
     # transform_settings.  Same distributions as the host/Rust path, different
-    # RNG streams (JAX threefry).
-    augment_on_device: bool = False
+    # RNG streams (JAX threefry).  Default ON: it is strictly faster (the
+    # single-core host augment capped training at 0.65 steps/s vs 10.2
+    # device-resident, TRAINBENCH round 2) and distribution-equivalent.
+    augment_on_device: bool = True
+    # Device-resident input ring (data/device_ring.py): the window pool lives
+    # in HBM as f16 and per-step batches are sampled + augmented on device;
+    # the host refreshes slots asynchronously.  Capacity in windows (rounded
+    # up to a multiple of batch_size); 0 disables the ring (per-step host
+    # batches, the reference's feed shape).  Only used when augmentation runs
+    # on device (or is disabled) — a host-augmented window must not be reused.
+    input_ring_capacity: int = 1024
+    # Refresh at most one feed chunk every N steps (after the initial fill).
+    # 1 = refresh as fast as the loader produces (right for real hosts with
+    # GB/s DMA).  On bandwidth-starved links (tunneled chips at ~45 MB/s) the
+    # refresh competes with step dispatch for the wire — raise N to trade
+    # sample freshness (epoch-style reuse) for steps/s (TRAINBENCH r03:
+    # full-rate refresh 4.5 steps/s vs 9.4 with refresh off; device step 10.5).
+    input_ring_refresh_period: int = 1
 
 
 @dataclass(frozen=True)

@@ -169,8 +169,13 @@ def _ffprobe_sample_rate(path: str) -> float:
     return float(out.strip().splitlines()[0])
 
 
-def _decode_via_ffmpeg(path: str, sample_rate: int) -> np.ndarray:
-    """Reference python.rs:173-266: channel split + optional AAC delay trim."""
+def _ffmpeg_command(
+    path: str, sample_rate: int, src_rate: float | None
+) -> tuple[list[str], Path, Path]:
+    """Build the exact reference decode command (python.rs:173-266): stereo
+    channel split, AAC encoder-delay trim of 2*1024 source-rate samples when
+    ``src_rate`` is given (python.rs:183-191), f32le raw outputs at
+    ``sample_rate``.  Pure — unit-testable without the ffmpeg binary."""
     tmp = Path(tempfile.gettempdir())
     uid = uuid.uuid4()
     left_f = tmp / f"audio-to-midi-{uid}_left.raw"
@@ -178,9 +183,8 @@ def _decode_via_ffmpeg(path: str, sample_rate: int) -> np.ndarray:
 
     audio_filter = "[0:a]channelsplit=channel_layout=stereo[left][right]"
     cmd = ["ffmpeg"]
-    if path.endswith(".aac"):
+    if src_rate is not None:
         cmd += ["-c:a", "aac"]
-        src_rate = _ffprobe_sample_rate(path)
         delay = (2 * 1024) / src_rate
         audio_filter += (
             f"; [left]atrim=start={delay}[left]; [right]atrim=start={delay}[right]"
@@ -190,6 +194,13 @@ def _decode_via_ffmpeg(path: str, sample_rate: int) -> np.ndarray:
         "-map", "[left]", "-ar", str(sample_rate), "-f", "f32le", str(left_f),
         "-map", "[right]", "-ar", str(sample_rate), "-f", "f32le", str(right_f),
     ]
+    return cmd, left_f, right_f
+
+
+def _decode_via_ffmpeg(path: str, sample_rate: int) -> np.ndarray:
+    """Reference python.rs:173-266: channel split + optional AAC delay trim."""
+    src_rate = _ffprobe_sample_rate(path) if path.endswith(".aac") else None
+    cmd, left_f, right_f = _ffmpeg_command(path, sample_rate, src_rate)
     try:
         subprocess.run(cmd, capture_output=True, check=True)
         left = np.fromfile(left_f, np.float32)

@@ -21,7 +21,7 @@ import numpy as np
 from .config import Config, DEFAULT_CONFIG
 from .models import model as model_lib
 from .models.rope import RopeFreqs
-from .ops.stitch import stitch_probs
+from .ops.stitch import stitch_probs_parallel as stitch_probs
 from .parallel.mesh import make_mesh, replicated
 from .train import checkpoint as ckpt
 
@@ -65,7 +65,6 @@ def load_newest_checkpoint(
     return params, state
 
 
-@partial(jax.jit, static_argnames=("cfg",))
 @partial(jax.jit, static_argnames=("cfg",))
 def _predict_windows(params, cfg, windows, rope):
     _logits, probs = model_lib.forward(params, cfg, windows, rope)
@@ -162,6 +161,8 @@ def transcribe_file(
     rope: Optional[RopeFreqs] = None,
     max_windows_per_batch: int = 128,
     mesh=None,
+    stage_times: Optional[dict] = None,
+    fetch_stitched: bool = True,
 ):
     """File -> (stitched probs, duration_per_frame, events).
 
@@ -179,13 +180,33 @@ def transcribe_file(
     shipped overlapping f32 windows — 4.5x the bytes of the raw audio — over
     the host->device link, which dominated serving latency on tunneled
     setups; see SERVEBENCH.)
+
+    ``stage_times``: pass a dict to record per-stage seconds (decode,
+    transfer, window, model_stitch, eventize, fetch).  Instrumentation
+    inserts a device sync after each stage, so the instrumented run measures
+    the UN-overlapped stage costs — the normal (None) path stays fully
+    async-dispatched and the runtime overlaps transfer with compute.
+    ``fetch_stitched=False`` skips the (frames, 90) f32 fetch (MIDI-only
+    serving needs just the events; returns stitched=None).
     """
+    import time as _time
+
     from .data.loader import load_full_audio
     from .ops.eventize import extract_events
 
+    def _stage(name, t0, sync=None):
+        if stage_times is not None:
+            if sync is not None:
+                jax.block_until_ready(sync)
+            stage_times[name] = stage_times.get(name, 0.0) + _time.perf_counter() - t0
+        return _time.perf_counter()
+
     window_duration = cfg.data.model_audio_length
+    t = _time.perf_counter()
     raw = load_full_audio(input_file, cfg.data.sample_rate)  # (2, N) f16-rounded
+    t = _stage("decode", t)
     raw_dev = jnp.asarray(raw.astype(np.float16))
+    t = _stage("transfer", t, sync=raw_dev)
     window_size = round(window_duration * cfg.data.sample_rate)
     overlap_samples = round(overlap * cfg.data.sample_rate)
     windows_dev = _make_windows_jit(
@@ -195,6 +216,7 @@ def transcribe_file(
     # checkpoint-parity inference, reference infer.py:27-32).
     param_dtype = jax.tree.leaves(params)[0].dtype
     windows_dev = windows_dev.astype(param_dtype)
+    t = _stage("window", t, sync=windows_dev)
     rope = rope if rope is not None else model_lib.make_rope(cfg.model)
     num_windows = windows_dev.shape[0]
 
@@ -238,10 +260,13 @@ def transcribe_file(
         all_probs = jnp.concatenate(chunks)
         duration_per_frame = window_duration / all_probs.shape[1]
         stitched_dev = stitch_probs(all_probs, overlap, duration_per_frame)
+    t = _stage("model_stitch", t, sync=stitched_dev)
 
     duration_per_frame = window_duration / cfg.model.output_frames(
         int(window_duration * cfg.data.sample_rate)
     )
-    events = extract_events(stitched_dev)  # device scan; fetches dense events
-    stitched = np.asarray(stitched_dev, np.float32)
+    events = extract_events(stitched_dev)  # device scan; fetches compact table
+    t = _stage("eventize", t)
+    stitched = np.asarray(stitched_dev, np.float32) if fetch_stitched else None
+    _stage("fetch", t)
     return stitched, duration_per_frame, events

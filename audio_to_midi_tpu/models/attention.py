@@ -30,9 +30,13 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.pallas_attention import (
+    attend_nhd_dropout,
+    dropout_threshold,
     fused_attention_layer_diff,
     fused_attention_nhd_diff,
     fused_local_two_phase,
+    fused_local_two_phase_dropout,
+    fused_local_two_phase_rw,
     fused_rope_attention,
 )
 from . import nn
@@ -102,17 +106,33 @@ def _attend(
     """Multi-head attention core.  q,k,v: (..., S, H, hd) -> (..., S, H*hd).
 
     fp32 softmax, query pre-scaled by 1/sqrt(hd) (reference model.py:250-252).
-    ``impl="pallas"`` runs the fused VMEM kernel (ops/pallas_attention.py);
-    attention-weight dropout needs the materialized weights, so the dropout
-    path always uses XLA.  ``block`` > 0 applies the block-diagonal mask for
-    the flattened local-window formulation.
+    ``impl="pallas"`` runs the fused VMEM kernel (ops/pallas_attention.py) —
+    with attention-weight dropout the mask rides into the kernel as
+    precomputed uint8 bits (rate quantized to 1/256 steps), so the reference-
+    parity training config (dropout 0.1, model.py:31) keeps the fast kernels.
+    ``block`` > 0 applies the block-diagonal mask for the flattened
+    local-window formulation.
     """
-    if impl == "pallas" and not enable_dropout:
+    # In-kernel dropout wants MXU-sized row tiles; the tiny-window fallback
+    # shapes (S = window = 16) stay on XLA.
+    drop_kernel_ok = (
+        enable_dropout
+        and key is not None
+        and q.shape[-3] >= 128
+        and dropout_threshold(dropout_rate) > 0
+    )
+    if impl in ("pallas", "pallas_rw") and (not enable_dropout or drop_kernel_ok
+                             or dropout_threshold(dropout_rate) == 0):
         # Natural-layout kernel: (.., S, H, hd) -> (G, S, H*hd) is a free
         # reshape (no transposes, so no XLA relayout copies around the call).
         *lead, s, h, hd = q.shape
         flat = lambda x: x.reshape(-1, s, h * hd)
-        out = fused_attention_nhd_diff(flat(q), flat(k), flat(v), h, block)
+        if drop_kernel_ok:
+            out = attend_nhd_dropout(
+                flat(q), flat(k), flat(v), key, h, dropout_rate, block
+            )
+        else:
+            out = fused_attention_nhd_diff(flat(q), flat(k), flat(v), h, block)
         return out.reshape(*lead, s, h * hd)
 
     hd = q.shape[-1]
@@ -255,8 +275,8 @@ def local_self_attention(
         return out[:, :seq_len, :]
 
     if (
-        cfg.attention_impl == "pallas"
-        and not enable_dropout
+        cfg.attention_impl in ("pallas", "pallas_rw")
+        and (not enable_dropout or key is not None)
         and padded % window == 0
         and padded % 16 == 0
     ):
@@ -264,6 +284,10 @@ def local_self_attention(
         # projections commute with windowing), RoPE'd twice with per-phase
         # window-restarting tables, then one kernel computes both phase
         # attentions and the overlap average (see ops/pallas_attention.py).
+        # With dropout the per-phase masks ride in as uint8 bits — each
+        # original window lies in exactly one phase, so per-window weights
+        # are independently dropped exactly like the reference's per-window
+        # dropout (model.py:253-257, 437-447).
         heads, hd = cfg.num_transformer_heads, cfg.attention_size
         q = nn.linear(xp, p["q_up"]).reshape(b, padded, heads, hd)
         ckv = nn.linear(xp, p["kv_down"])
@@ -277,9 +301,23 @@ def local_self_attention(
         flat = lambda t: t.reshape(b, padded, heads * hd)
         qa, ka = _rope_with(q, cos_a, sin_a), _rope_with(k, cos_a, sin_a)
         qb, kb = _rope_with(q, cos_b, sin_b), _rope_with(k, cos_b, sin_b)
-        out = fused_local_two_phase(
-            flat(qa), flat(ka), flat(qb), flat(kb), v, heads, window
-        )
+        threshold = dropout_threshold(cfg.transformer_dropout_rate)
+        if enable_dropout and threshold > 0:
+            bits = jax.random.bits(
+                key, (2, b, heads, padded, padded), dtype=jnp.uint8
+            )
+            out = fused_local_two_phase_dropout(
+                flat(qa), flat(ka), flat(qb), flat(kb), v, bits[0], bits[1],
+                heads, window, threshold,
+            )
+        elif cfg.attention_impl == "pallas_rw":
+            out = fused_local_two_phase_rw(
+                flat(qa), flat(ka), flat(qb), flat(kb), v, heads, window
+            )
+        else:
+            out = fused_local_two_phase(
+                flat(qa), flat(ka), flat(qb), flat(kb), v, heads, window
+            )
         # Reference quirk: crop the padded-coordinate average to the first
         # seq_len rows; out-proj is bias-free so it commutes with the crop.
         return nn.linear(out[:, :seq_len, :], p["out"])
@@ -290,7 +328,7 @@ def local_self_attention(
     windows = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=2)
 
     q, k, v = _qkv(windows, p, cfg.num_transformer_heads, rope)
-    if cfg.attention_impl == "pallas" and not enable_dropout:
+    if cfg.attention_impl in ("pallas", "pallas_rw") and not enable_dropout:
         # Flatten the (windows, window) axes into one sequence and let the
         # fused kernel's block-diagonal mask realize the per-window softmax.
         heads, hd = q.shape[-2], q.shape[-1]

@@ -239,6 +239,8 @@ def _fwd_nhd(q, k, v, num_heads, block):
 
 def _bwd_nhd(num_heads, block, residuals, g):
     q, k, v = residuals
+    if _use_bwd_kernel():
+        return nhd_grads(q, k, v, g, num_heads, block, valid_len=q.shape[1])
 
     def ref(q, k, v):
         out = _xla_reference(
@@ -254,6 +256,187 @@ def _bwd_nhd(num_heads, block, residuals, g):
 
 
 fused_attention_nhd_diff.defvjp(_fwd_nhd, _bwd_nhd)
+
+
+# ---------------------------------------------------------------------------
+# Attention-weight dropout inside the kernels.
+#
+# The reference's production config trains with attention-weight dropout 0.1
+# (model.py:31, applied to the fp32 softmax weights before the V matmul,
+# model.py:253-257).  Materializing weights for host-side dropout forced the
+# whole attention onto the XLA einsum path (97.6 vs 59.8 ms/step, PERF.md
+# round 2).  Here the dropout mask rides into the kernel as PRECOMPUTED uint8
+# random bits (1 byte per logit): the kernel keeps weight (r, c) iff
+# bits[r, c] >= threshold, scaling kept weights by 1/keep — inverted dropout
+# with rate threshold/256 (rate quantized to 1/256 steps; 0.1 -> 26/256 =
+# 0.1016, irrelevant for training and asserted by the statistical test).
+# The backward pass applies the SAME bits in the XLA mirror, so gradients are
+# exact w.r.t. the identical mask — testable bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def dropout_threshold(rate: float) -> int:
+    """uint8 threshold whose drop rate best approximates ``rate``."""
+    return int(round(rate * 256.0))
+
+
+def _apply_bits(weights_f32, bits, threshold: int):
+    """weights: fp32; bits: uint8 same shape.  Inverted dropout.
+
+    The comparison runs in int32 — Mosaic's v5e target rejects unsigned i8
+    vector compares ("Target does not support this comparison")."""
+    keep_inv = jnp.float32(256.0 / (256.0 - threshold))
+    keep = bits.astype(jnp.int32) >= jnp.int32(threshold)
+    return jnp.where(keep, weights_f32 * keep_inv, 0.0)
+
+
+def _attention_kernel_nhd_drop(
+    q_ref, k_ref, v_ref, bits_ref, o_ref,
+    *, num_heads: int, valid_len: int, block: int, threshold: int,
+):
+    """Natural-layout kernel with in-kernel attention-weight dropout.
+
+    Refs: q/k/v (1, S, H*hd); bits (1, H, S, S) uint8.  Identical to
+    ``_attention_kernel_nhd`` (incl. the distance-1 logits pipeline) plus the
+    thresholded-bits mask applied to the fp32 softmax weights.
+    """
+    _, s, dmodel = q_ref.shape
+    hd = dmodel // num_heads
+    scale = jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    mask = cols < valid_len
+    if block > 0:
+        mask = mask & (rows // block == cols // block)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    def logits_of(h):
+        sl = slice(h * hd, (h + 1) * hd)
+        logits = jax.lax.dot_general(
+            q[:, sl] * scale, k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.where(mask, logits, -1e30)
+
+    pending = logits_of(0)
+    for h in range(num_heads):
+        nxt = logits_of(h + 1) if h + 1 < num_heads else None
+        weights = jax.nn.softmax(pending, axis=-1)
+        weights = _apply_bits(weights, bits_ref[0, h], threshold).astype(v.dtype)
+        sl = slice(h * hd, (h + 1) * hd)
+        out = jax.lax.dot_general(
+            weights, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+        pending = nxt
+
+
+def _xla_reference_nhd_bits(q, k, v, bits, num_heads, block, threshold, valid_len):
+    """XLA mirror with the identical bits mask (backward + grad tests).
+    q/k/v: (G, S, H*hd); bits: (G, H, S, S) uint8."""
+    g, s, dm = q.shape
+    hd = dm // num_heads
+    qh = q.reshape(g, s, num_heads, hd).astype(jnp.float32) / math.sqrt(hd)
+    kh = k.reshape(g, s, num_heads, hd).astype(jnp.float32)
+    vh = v.reshape(g, s, num_heads, hd).astype(jnp.float32)
+    logits = jnp.einsum("gshd,gShd->ghsS", qh, kh)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    mask = cols < valid_len
+    if block > 0:
+        mask = mask & (rows // block == cols // block)
+    logits = jnp.where(mask, logits, -1e30)
+    weights = _apply_bits(jax.nn.softmax(logits, axis=-1), bits, threshold)
+    out = jnp.einsum("ghsS,gShd->gshd", weights.astype(q.dtype), vh.astype(q.dtype))
+    return out.reshape(g, s, dm).astype(q.dtype)
+
+
+def _zero_bits_cotangent(bits):
+    import numpy as np
+
+    return np.zeros(bits.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_attention_nhd_dropout(
+    q, k, v, bits, num_heads: int, block: int, threshold: int, valid_len: int
+):
+    """Natural-layout fused attention with attention-weight dropout.
+
+    q/k/v: (G, S, H*hd) with S already padded to the kernel tile (the caller
+    pads and crops); bits: (G, H, S, S) uint8 random bits; ``valid_len``
+    masks the padded columns exactly as the dropout-free kernel does.
+    """
+    g, s, dm = q.shape
+    spec = pl.BlockSpec((1, s, dm), lambda i: (i, 0, 0))
+    bspec = pl.BlockSpec((1, num_heads, s, s), lambda i: (i, 0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _attention_kernel_nhd_drop,
+            num_heads=num_heads, valid_len=valid_len, block=block,
+            threshold=threshold,
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, s, dm), q.dtype),
+        grid=(g,),
+        in_specs=[spec, spec, spec, bspec],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(q, k, v, bits)
+
+
+def _drop_nhd_fwd(q, k, v, bits, num_heads, block, threshold, valid_len):
+    out = fused_attention_nhd_dropout(
+        q, k, v, bits, num_heads, block, threshold, valid_len
+    )
+    return out, (q, k, v, bits)
+
+
+def _drop_nhd_bwd(num_heads, block, threshold, valid_len, residuals, g):
+    q, k, v, bits = residuals
+    if _use_bwd_kernel():
+        dq, dk, dv = nhd_grads(
+            q, k, v, g, num_heads, block, valid_len=valid_len,
+            bits=bits, threshold=threshold,
+        )
+        return dq, dk, dv, _zero_bits_cotangent(bits)
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_reference_nhd_bits(
+            q, k, v, bits, num_heads, block, threshold, valid_len=valid_len
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, _zero_bits_cotangent(bits)
+
+
+fused_attention_nhd_dropout.defvjp(_drop_nhd_fwd, _drop_nhd_bwd)
+
+
+def attend_nhd_dropout(
+    q, k, v, key, num_heads: int, rate: float, block: int = 0
+) -> jax.Array:
+    """Pad + generate bits + run the dropout kernel + crop.
+
+    q/k/v: (G, S, H*hd) natural layout; ``key`` drives the uint8 bits whose
+    thresholding realizes attention-weight dropout at rate
+    ``round(rate*256)/256``.
+    """
+    threshold = dropout_threshold(rate)
+    g, s, dm = q.shape
+    s_pad = _round_up(s, 128)
+    if s_pad != s:
+        pad = ((0, 0), (0, s_pad - s), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    bits = jax.random.bits(key, (g, num_heads, s_pad, s_pad), dtype=jnp.uint8)
+    out = fused_attention_nhd_dropout(
+        q, k, v, bits, num_heads, block, threshold, s
+    )
+    return out[:, :s, :]
 
 
 # ---------------------------------------------------------------------------
@@ -398,6 +581,8 @@ def _two_phase_fwd(qa, ka, qb, kb, v, num_heads, window):
 
 def _two_phase_bwd(num_heads, window, residuals, g):
     qa, ka, qb, kb, v = residuals
+    if _use_bwd_kernel():
+        return two_phase_grads(qa, ka, qb, kb, v, g, num_heads, window)
     _, vjp = jax.vjp(
         lambda *a: _two_phase_reference(*a, num_heads=num_heads, window=window),
         qa, ka, qb, kb, v,
@@ -406,6 +591,568 @@ def _two_phase_bwd(num_heads, window, residuals, g):
 
 
 fused_local_two_phase.defvjp(_two_phase_fwd, _two_phase_bwd)
+
+
+def _two_phase_kernel_drop(
+    qa_ref, ka_ref, qb_ref, kb_ref, v_ref, bits_a_ref, bits_b_ref, o_ref,
+    *, num_heads: int, window: int, threshold: int,
+):
+    """Two-phase local attention with in-kernel attention-weight dropout.
+    bits refs: (n, H, P, P) uint8 per phase.  Identical math to
+    ``_two_phase_kernel`` plus the thresholded-bits mask on the fp32 softmax
+    weights (reference model.py:253-257 dropout position)."""
+    n, p_len, dm = qa_ref.shape
+    hd = dm // num_heads
+    stride = window // 2
+    scale = jnp.asarray(1.0 / math.sqrt(hd), qa_ref.dtype)
+
+    pr = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 1)
+    mask_a = pr // window == pc // window
+    in_band = (pc >= stride) & (pc < p_len - stride)
+    mask_b = ((pr - stride) // window == (pc - stride) // window) & in_band
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
+    b_rows = (col >= stride) & (col < p_len - stride)
+    inv_count = jnp.where(b_rows, 0.5, 1.0).astype(jnp.float32)
+
+    work = [(s, ph, h) for s in range(n) for ph in range(2) for h in range(num_heads)]
+
+    def logits_of(i):
+        s, ph, h = work[i]
+        q_ref, k_ref = ((qa_ref, ka_ref), (qb_ref, kb_ref))[ph]
+        sl = slice(h * hd, (h + 1) * hd)
+        logits = jax.lax.dot_general(
+            q_ref[s][:, sl] * scale, k_ref[s][:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.where(mask_a if ph == 0 else mask_b, logits, -1e30)
+
+    outs = {}
+    pending = logits_of(0)
+    for i, (s, ph, h) in enumerate(work):
+        nxt = logits_of(i + 1) if i + 1 < len(work) else None
+        weights = jax.nn.softmax(pending, axis=-1)
+        bits = (bits_a_ref if ph == 0 else bits_b_ref)[s, h]
+        weights = _apply_bits(weights, bits, threshold).astype(v_ref.dtype)
+        sl = slice(h * hd, (h + 1) * hd)
+        outs[(s, ph, h)] = jax.lax.dot_general(
+            weights, v_ref[s][:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pending = nxt
+
+    for s in range(n):
+        out_a = jnp.concatenate([outs[(s, 0, h)] for h in range(num_heads)], axis=-1)
+        out_b = jnp.concatenate([outs[(s, 1, h)] for h in range(num_heads)], axis=-1)
+        out_b = jnp.where(b_rows, out_b, jnp.zeros_like(out_b))
+        o_ref[s] = ((out_a + out_b) * inv_count).astype(o_ref.dtype)
+
+
+def _two_phase_cell_drop(batch: int, p_len: int, dm: int, num_heads: int) -> int:
+    for n in (8, 4, 2, 1):
+        if batch % n:
+            continue
+        act = n * p_len * dm * 2 * 14
+        bits = n * 2 * num_heads * p_len * p_len  # uint8 per phase
+        if act + bits <= 12 * 1024 * 1024:
+            return n
+    return 1
+
+
+def _two_phase_reference_bits(
+    qa, ka, qb, kb, v, bits_a, bits_b, num_heads: int, window: int, threshold: int
+):
+    """jnp mirror of the dropout two-phase kernel with the identical bits
+    (backward + grad-exactness tests).  bits: (B, H, P, P) uint8 per phase."""
+    b, p_len, dm = qa.shape
+    hd = dm // num_heads
+    stride = window // 2
+
+    pr = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 1)
+    mask_a = pr // window == pc // window
+    in_band = (pc >= stride) & (pc < p_len - stride)
+    mask_b = ((pr - stride) // window == (pc - stride) // window) & in_band
+
+    def mha(q, k, mask, bits):
+        qh = q.reshape(b, p_len, num_heads, hd).astype(jnp.float32) / math.sqrt(hd)
+        kh = k.reshape(b, p_len, num_heads, hd).astype(jnp.float32)
+        vh = v.reshape(b, p_len, num_heads, hd).astype(jnp.float32)
+        logits = jnp.einsum("bshd,bShd->bhsS", qh, kh)
+        logits = jnp.where(mask, logits, -1e30)
+        weights = _apply_bits(jax.nn.softmax(logits, axis=-1), bits, threshold)
+        return jnp.einsum(
+            "bhsS,bShd->bshd", weights.astype(qa.dtype).astype(jnp.float32), vh
+        ).reshape(b, p_len, dm)
+
+    out_a = mha(qa, ka, mask_a, bits_a)
+    out_b = mha(qb, kb, mask_b, bits_b)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
+    b_rows = (rows >= stride) & (rows < p_len - stride)
+    out_b = jnp.where(b_rows, out_b, jnp.zeros_like(out_b))
+    inv = jnp.where(b_rows, 0.5, 1.0)
+    return ((out_a + out_b) * inv).astype(qa.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_local_two_phase_dropout(
+    qa, ka, qb, kb, v, bits_a, bits_b, num_heads: int, window: int, threshold: int
+):
+    """Two-phase sliding-window attention + overlap averaging with in-kernel
+    attention-weight dropout (bits per phase, (B, H, P, P) uint8)."""
+    b, p_len, dm = qa.shape
+    n = _two_phase_cell_drop(b, p_len, dm, num_heads)
+    spec = pl.BlockSpec((n, p_len, dm), lambda i: (i, 0, 0))
+    bspec = pl.BlockSpec((n, num_heads, p_len, p_len), lambda i: (i, 0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _two_phase_kernel_drop,
+            num_heads=num_heads, window=window, threshold=threshold,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, p_len, dm), qa.dtype),
+        grid=(b // n,),
+        in_specs=[spec] * 5 + [bspec, bspec],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(qa, ka, qb, kb, v, bits_a, bits_b)
+
+
+def _two_phase_drop_fwd(qa, ka, qb, kb, v, bits_a, bits_b, num_heads, window, threshold):
+    out = fused_local_two_phase_dropout(
+        qa, ka, qb, kb, v, bits_a, bits_b, num_heads, window, threshold
+    )
+    return out, (qa, ka, qb, kb, v, bits_a, bits_b)
+
+
+def _two_phase_drop_bwd(num_heads, window, threshold, residuals, g):
+    qa, ka, qb, kb, v, bits_a, bits_b = residuals
+    if _use_bwd_kernel():
+        grads = two_phase_grads_drop(
+            qa, ka, qb, kb, v, bits_a, bits_b, g, num_heads, window, threshold
+        )
+        return (*grads, _zero_bits_cotangent(bits_a), _zero_bits_cotangent(bits_b))
+    _, vjp = jax.vjp(
+        lambda *a: _two_phase_reference_bits(
+            *a, bits_a, bits_b, num_heads=num_heads, window=window,
+            threshold=threshold,
+        ),
+        qa, ka, qb, kb, v,
+    )
+    grads = vjp(g)
+    return (*grads, _zero_bits_cotangent(bits_a), _zero_bits_cotangent(bits_b))
+
+
+fused_local_two_phase_dropout.defvjp(_two_phase_drop_fwd, _two_phase_drop_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Reduced-width two-phase local attention: local rows attend exactly
+# ``window`` (16) keys, so instead of one full masked (P, P) logits matmul per
+# core, each window's (16, hd) q/k produce a (16, 16) tile and the softmax
+# runs over (P, window) — logits FLOPs and softmax VPU work both drop ~16x at
+# P=256.  The trade: 2*(P/window) small MXU dots per core instead of 2 large
+# ones (the banding experiment showed these kernels are op-count-bound, so
+# this must be MEASURED, not assumed — see PERF.md).
+#
+# Phase B (windows offset by stride) is made structurally identical to phase A
+# by rolling its rows up by ``stride`` before the blocked cores and rolling
+# the output back; the wrapped window's rows land outside the phase-B band
+# and are zeroed by the same b_rows mask the wide kernel uses.
+# ---------------------------------------------------------------------------
+
+
+def _roll_up(x, s: int):
+    return jnp.concatenate([x[s:], x[:s]], axis=0)
+
+
+def _roll_down(x, s: int):
+    return jnp.concatenate([x[-s:], x[:-s]], axis=0)
+
+
+def _blocked_local_core(q, k, v, window: int, scale):
+    """q/k/v: (P, hd) of ONE head, block-diagonal window attention with
+    (P, window) logits.  Returns (P, hd) fp32."""
+    p_len, hd = q.shape
+    nw = p_len // window
+    tiles = []
+    for w in range(nw):
+        sl = slice(w * window, (w + 1) * window)
+        tiles.append(
+            jax.lax.dot_general(
+                q[sl] * scale, k[sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    logits = jnp.concatenate(tiles, axis=0)  # (P, window) fp32
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    outs = []
+    for w in range(nw):
+        sl = slice(w * window, (w + 1) * window)
+        outs.append(
+            jax.lax.dot_general(
+                weights[sl], v[sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
+def _two_phase_kernel_rw(
+    qa_ref, ka_ref, qb_ref, kb_ref, v_ref, o_ref, *, num_heads: int, window: int
+):
+    """Reduced-width variant of ``_two_phase_kernel`` — identical math."""
+    n, p_len, dm = qa_ref.shape
+    hd = dm // num_heads
+    stride = window // 2
+    scale = jnp.asarray(1.0 / math.sqrt(hd), qa_ref.dtype)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
+    b_rows = (col >= stride) & (col < p_len - stride)
+    inv_count = jnp.where(b_rows, 0.5, 1.0).astype(jnp.float32)
+
+    for s in range(n):
+        v = v_ref[s]
+        vb = _roll_up(v, stride)
+        qb = _roll_up(qb_ref[s], stride)
+        kb = _roll_up(kb_ref[s], stride)
+        heads_a, heads_b = [], []
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            heads_a.append(
+                _blocked_local_core(qa_ref[s][:, sl], ka_ref[s][:, sl], v[:, sl], window, scale)
+            )
+            heads_b.append(
+                _blocked_local_core(qb[:, sl], kb[:, sl], vb[:, sl], window, scale)
+            )
+        out_a = jnp.concatenate(heads_a, axis=-1)
+        out_b = _roll_down(jnp.concatenate(heads_b, axis=-1), stride)
+        out_b = jnp.where(b_rows, out_b, jnp.zeros_like(out_b))
+        o_ref[s] = ((out_a + out_b) * inv_count).astype(o_ref.dtype)
+
+
+def _two_phase_rw_impl(qa, ka, qb, kb, v, num_heads: int, window: int):
+    b, p_len, dm = qa.shape
+    n = _two_phase_cell(b, p_len, dm)
+    spec = pl.BlockSpec((n, p_len, dm), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_two_phase_kernel_rw, num_heads=num_heads, window=window),
+        out_shape=jax.ShapeDtypeStruct((b, p_len, dm), qa.dtype),
+        grid=(b // n,),
+        in_specs=[spec] * 5,
+        out_specs=spec,
+        interpret=_interpret(),
+    )(qa, ka, qb, kb, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_local_two_phase_rw(qa, ka, qb, kb, v, num_heads: int, window: int):
+    """Reduced-width two-phase local attention (same contract as
+    ``fused_local_two_phase``; selected via attention_impl="pallas_rw")."""
+    return _two_phase_rw_impl(qa, ka, qb, kb, v, num_heads, window)
+
+
+def _two_phase_rw_fwd(qa, ka, qb, kb, v, num_heads, window):
+    return _two_phase_rw_impl(qa, ka, qb, kb, v, num_heads, window), (qa, ka, qb, kb, v)
+
+
+fused_local_two_phase_rw.defvjp(_two_phase_rw_fwd, _two_phase_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas BACKWARD kernels for the attention cores.
+#
+# The custom_vjp backward used to delegate to the XLA mirror, which
+# materializes the (B, H, P, P) weights through HBM several times — under
+# remat the training step is backward-dominated, so the forward kernels alone
+# barely moved the step time (PERF.md round 3).  These kernels compute
+# dq/dk/dv per core entirely in VMEM: recompute logits+softmax (cheaper than
+# storing weights), then dv = w^T g, dw = g v^T, dlogits = w*(dw - rowsum),
+# dq = dlogits k, dk = dlogits^T q.  Math identical to jax.vjp of the XLA
+# mirror (tests assert allclose).  Disable with A2M_PALLAS_BWD=0.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+
+def _use_bwd_kernel() -> bool:
+    return _os.environ.get("A2M_PALLAS_BWD", "1") != "0"
+
+
+def _core_grads(q, k, v, do, mask, scale, bits=None, threshold: int = 0):
+    """One attention core's input grads, all fp32 in VMEM.
+
+    q/k/v: (P, hd) compute dtype; do: (P, hd) fp32; mask: (P, P) bool.
+    Returns (dq, dk, dv) fp32.  ``bits`` applies the in-kernel dropout mask
+    exactly as the forward did.
+    """
+    logits = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = jnp.where(mask, logits, -1e30)
+    w = jax.nn.softmax(logits, axis=-1)  # (P, P) fp32
+    if bits is not None:
+        w_used = _apply_bits(w, bits, threshold)
+    else:
+        w_used = w
+    # Forward cast w to the V dtype before the V matmul — reproduce for
+    # exactness of dv and dw w.r.t. the mirror.
+    w_cast = w_used.astype(v.dtype)
+    dv = jax.lax.dot_general(
+        w_cast, do.astype(v.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw = jax.lax.dot_general(
+        do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bits is not None:
+        dw = _apply_bits(dw, bits, threshold)
+    dlogits = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dlogits = jnp.where(mask, dlogits, 0.0).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        dlogits, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale.astype(jnp.float32)
+    dk = jax.lax.dot_general(
+        dlogits, q * scale, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dq, dk, dv
+
+
+def _two_phase_bwd_kernel(
+    qa_ref, ka_ref, qb_ref, kb_ref, v_ref, g_ref,
+    dqa_ref, dka_ref, dqb_ref, dkb_ref, dv_ref,
+    *, num_heads: int, window: int,
+):
+    """Backward of the two-phase local attention: refs (n, P, H*hd); g is the
+    cotangent of the overlap-averaged output."""
+    n, p_len, dm = qa_ref.shape
+    hd = dm // num_heads
+    stride = window // 2
+    scale = jnp.asarray(1.0 / math.sqrt(hd), qa_ref.dtype)
+
+    pr = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 1)
+    mask_a = pr // window == pc // window
+    in_band = (pc >= stride) & (pc < p_len - stride)
+    mask_b = ((pr - stride) // window == (pc - stride) // window) & in_band
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
+    b_rows = (col >= stride) & (col < p_len - stride)
+    inv_count = jnp.where(b_rows, 0.5, 1.0).astype(jnp.float32)
+
+    for s in range(n):
+        g = g_ref[s].astype(jnp.float32) * inv_count
+        g_b = jnp.where(b_rows, g, 0.0)
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            dqa, dka, dva = _core_grads(
+                qa_ref[s][:, sl], ka_ref[s][:, sl], v_ref[s][:, sl],
+                g[:, sl], mask_a, scale,
+            )
+            dqb, dkb, dvb = _core_grads(
+                qb_ref[s][:, sl], kb_ref[s][:, sl], v_ref[s][:, sl],
+                g_b[:, sl], mask_b, scale,
+            )
+            dqa_ref[s, :, sl] = dqa.astype(dqa_ref.dtype)
+            dka_ref[s, :, sl] = dka.astype(dka_ref.dtype)
+            dqb_ref[s, :, sl] = dqb.astype(dqb_ref.dtype)
+            dkb_ref[s, :, sl] = dkb.astype(dkb_ref.dtype)
+            dv_ref[s, :, sl] = (dva + dvb).astype(dv_ref.dtype)
+
+
+def _two_phase_bwd_cell(batch: int, p_len: int, dm: int) -> int:
+    for n in (4, 2, 1):
+        if batch % n:
+            continue
+        if n * p_len * dm * 2 * 24 <= 12 * 1024 * 1024:
+            return n
+    return 1
+
+
+def two_phase_grads(qa, ka, qb, kb, v, g, num_heads: int, window: int):
+    """(dqa, dka, dqb, dkb, dv) via the backward kernel."""
+    b, p_len, dm = qa.shape
+    n = _two_phase_bwd_cell(b, p_len, dm)
+    spec = pl.BlockSpec((n, p_len, dm), lambda i: (i, 0, 0))
+    shapes = [jax.ShapeDtypeStruct((b, p_len, dm), qa.dtype)] * 5
+    return pl.pallas_call(
+        functools.partial(
+            _two_phase_bwd_kernel, num_heads=num_heads, window=window
+        ),
+        out_shape=shapes,
+        grid=(b // n,),
+        in_specs=[spec] * 6,
+        out_specs=[spec] * 5,
+        interpret=_interpret(),
+    )(qa, ka, qb, kb, v, g)
+
+
+def _two_phase_bwd_kernel_drop(
+    qa_ref, ka_ref, qb_ref, kb_ref, v_ref, bits_a_ref, bits_b_ref, g_ref,
+    dqa_ref, dka_ref, dqb_ref, dkb_ref, dv_ref,
+    *, num_heads: int, window: int, threshold: int,
+):
+    n, p_len, dm = qa_ref.shape
+    hd = dm // num_heads
+    stride = window // 2
+    scale = jnp.asarray(1.0 / math.sqrt(hd), qa_ref.dtype)
+
+    pr = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 1)
+    mask_a = pr // window == pc // window
+    in_band = (pc >= stride) & (pc < p_len - stride)
+    mask_b = ((pr - stride) // window == (pc - stride) // window) & in_band
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
+    b_rows = (col >= stride) & (col < p_len - stride)
+    inv_count = jnp.where(b_rows, 0.5, 1.0).astype(jnp.float32)
+
+    for s in range(n):
+        g = g_ref[s].astype(jnp.float32) * inv_count
+        g_b = jnp.where(b_rows, g, 0.0)
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            dqa, dka, dva = _core_grads(
+                qa_ref[s][:, sl], ka_ref[s][:, sl], v_ref[s][:, sl],
+                g[:, sl], mask_a, scale,
+                bits=bits_a_ref[s, h], threshold=threshold,
+            )
+            dqb, dkb, dvb = _core_grads(
+                qb_ref[s][:, sl], kb_ref[s][:, sl], v_ref[s][:, sl],
+                g_b[:, sl], mask_b, scale,
+                bits=bits_b_ref[s, h], threshold=threshold,
+            )
+            dqa_ref[s, :, sl] = dqa.astype(dqa_ref.dtype)
+            dka_ref[s, :, sl] = dka.astype(dka_ref.dtype)
+            dqb_ref[s, :, sl] = dqb.astype(dqb_ref.dtype)
+            dkb_ref[s, :, sl] = dkb.astype(dkb_ref.dtype)
+            dv_ref[s, :, sl] = (dva + dvb).astype(dv_ref.dtype)
+
+
+def two_phase_grads_drop(
+    qa, ka, qb, kb, v, bits_a, bits_b, g, num_heads: int, window: int, threshold: int
+):
+    b, p_len, dm = qa.shape
+    n = _two_phase_bwd_cell(b, p_len, dm)
+    while n > 1 and n * 2 * num_heads * p_len * p_len > 4 * 1024 * 1024:
+        n //= 2  # bits blocks share the VMEM budget
+    spec = pl.BlockSpec((n, p_len, dm), lambda i: (i, 0, 0))
+    bspec = pl.BlockSpec((n, num_heads, p_len, p_len), lambda i: (i, 0, 0, 0))
+    shapes = [jax.ShapeDtypeStruct((b, p_len, dm), qa.dtype)] * 5
+    return pl.pallas_call(
+        functools.partial(
+            _two_phase_bwd_kernel_drop,
+            num_heads=num_heads, window=window, threshold=threshold,
+        ),
+        out_shape=shapes,
+        grid=(b // n,),
+        in_specs=[spec] * 5 + [bspec, bspec, spec],
+        out_specs=[spec] * 5,
+        interpret=_interpret(),
+    )(qa, ka, qb, kb, v, bits_a, bits_b, g)
+
+
+def _nhd_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+    *, num_heads: int, valid_len: int, block: int,
+):
+    """Backward of the natural-layout kernel; refs (1, S, H*hd)."""
+    _, s, dm = q_ref.shape
+    hd = dm // num_heads
+    scale = jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    mask = cols < valid_len
+    if block > 0:
+        mask = mask & (rows // block == cols // block)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        dq, dk, dv = _core_grads(q[:, sl], k[:, sl], v[:, sl], g[:, sl], mask, scale)
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _nhd_bwd_kernel_drop(
+    q_ref, k_ref, v_ref, bits_ref, g_ref, dq_ref, dk_ref, dv_ref,
+    *, num_heads: int, valid_len: int, block: int, threshold: int,
+):
+    _, s, dm = q_ref.shape
+    hd = dm // num_heads
+    scale = jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    mask = cols < valid_len
+    if block > 0:
+        mask = mask & (rows // block == cols // block)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        dq, dk, dv = _core_grads(
+            q[:, sl], k[:, sl], v[:, sl], g[:, sl], mask, scale,
+            bits=bits_ref[0, h], threshold=threshold,
+        )
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def nhd_grads(q, k, v, g, num_heads: int, block: int, valid_len: int,
+              bits=None, threshold: int = 0):
+    """(dq, dk, dv) for the natural-layout kernel via the backward kernel.
+    Handles row padding to the kernel tile (grads cropped back)."""
+    gdim, s_in, dm = q.shape
+    s = _round_up(s_in, 128)
+    if s != s_in:
+        pad = ((0, 0), (0, s - s_in), (0, 0))
+        q, k, v, g = (jnp.pad(t, pad) for t in (q, k, v, g))
+        valid_len = min(valid_len, s_in)
+    crop = (lambda t: t[:, :s_in, :]) if s != s_in else (lambda t: t)
+    spec = pl.BlockSpec((1, s, dm), lambda i: (i, 0, 0))
+    shapes = [jax.ShapeDtypeStruct((gdim, s, dm), q.dtype)] * 3
+    if bits is None:
+        out = pl.pallas_call(
+            functools.partial(
+                _nhd_bwd_kernel,
+                num_heads=num_heads, valid_len=valid_len, block=block,
+            ),
+            out_shape=shapes,
+            grid=(gdim,),
+            in_specs=[spec] * 4,
+            out_specs=[spec] * 3,
+            interpret=_interpret(),
+        )(q, k, v, g)
+    else:
+        assert bits.shape[2] == s, (bits.shape, s)  # bits made at padded size
+        bspec = pl.BlockSpec((1, num_heads, s, s), lambda i: (i, 0, 0, 0))
+        out = pl.pallas_call(
+            functools.partial(
+                _nhd_bwd_kernel_drop,
+                num_heads=num_heads, valid_len=valid_len, block=block,
+                threshold=threshold,
+            ),
+            out_shape=shapes,
+            grid=(gdim,),
+            in_specs=[spec, spec, spec, bspec, spec],
+            out_specs=[spec] * 3,
+            interpret=_interpret(),
+        )(q, k, v, bits, g)
+    return tuple(crop(t) for t in out)
 
 
 # ---------------------------------------------------------------------------

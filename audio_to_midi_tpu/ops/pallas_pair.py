@@ -285,7 +285,10 @@ def pair_weights(p: dict, dtype) -> list[jax.Array]:
 def pair_supported(p_len: int, d: int, num_heads: int, window: int) -> bool:
     """Geometry gate: the kernel's VMEM shapes need tile alignment and the
     two-phase decomposition needs window == 2*stride dividing P.  Unsupported
-    geometries fall back to the XLA/pallas attention paths."""
+    geometries — including sequences so long that even a single-sample cell's
+    estimated footprint blows the VMEM budget (`_pick_cell`'s n=1 estimate) —
+    fall back to the XLA/pallas attention paths instead of failing at Mosaic
+    compile time."""
     hd = d // num_heads if num_heads else 0
     return (
         window > 0
@@ -297,4 +300,5 @@ def pair_supported(p_len: int, d: int, num_heads: int, window: int) -> bool:
         and d % num_heads == 0
         and hd % 2 == 0
         and (hd // 2) % 8 == 0
+        and p_len * d * 2 * 22 <= 13 * 1024 * 1024
     )

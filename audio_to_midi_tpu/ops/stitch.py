@@ -71,3 +71,64 @@ def stitch_probs(
     is_first = jnp.arange(num_windows) == 0
     out, _ = jax.lax.scan(body, out, (probs, jnp.asarray(bases), is_first), unroll=4)
     return out[:output_frames]
+
+
+@partial(jax.jit, static_argnames=("overlap", "duration_per_frame"))
+def stitch_probs_parallel(
+    all_probs: jax.Array, overlap: float, duration_per_frame: float
+) -> jax.Array:
+    """Scan-free stitcher — identical output to :func:`stitch_probs`.
+
+    The sequential write-then-blend loop is exactly PAIRWISE: window w's
+    blend region only ever reads window w-1's final rows (the bases advance
+    by ~fpw - ov per window, so no third window is involved), and every
+    output row is finally owned by the LAST window that writes it (rows
+    [b_w, b_{w+1}) belong to w).  So all blends compute in parallel from a
+    shifted gather of the previous window, and assembly is one
+    unique-indices scatter — no W-length sequential scan on the hot serving
+    path.
+    """
+    num_windows, fpw, e = all_probs.shape
+    bases_np, output_frames, ov = stitch_plan(
+        num_windows, fpw, overlap, duration_per_frame
+    )
+    probs = all_probs.astype(jnp.float32)
+    if num_windows == 1:
+        return probs[0][:output_frames]
+
+    r = jnp.arange(fpw)
+    if ov > 0:
+        blend = (r.astype(jnp.float32) / ov)[:, None]
+        in_blend = (r <= math.ceil(ov))[:, None]
+        # Window w (>0) blends row r with window w-1's row (b_w - b_{w-1}) + r;
+        # past w-1's last row the scan read the zero slack buffer.
+        d = jnp.asarray(bases_np[1:] - bases_np[:-1])  # (W-1,)
+        idx = d[:, None] + r[None, :]
+        oob = (idx >= fpw)[:, :, None]
+        prev = jnp.take_along_axis(
+            probs[:-1], jnp.clip(idx, 0, fpw - 1)[:, :, None], axis=1
+        )
+        cur = jnp.where(oob, 0.0, prev)
+        tail = jnp.where(
+            in_blend[None], (1.0 - blend) * cur + blend * probs[1:], probs[1:]
+        )
+        final = jnp.concatenate([probs[:1], tail], axis=0)
+    else:
+        final = probs
+
+    # Ownership: window w finally owns rows [0, b_{w+1} - b_w); the last
+    # window owns all fpw rows.  Owned indices are unique; disowned rows get
+    # index output_frames and are dropped.
+    next_base = np.concatenate([bases_np[1:], [bases_np[-1] + fpw]])
+    own_len = jnp.asarray(next_base - bases_np)  # (W,)
+    owned = (r[None, :] < own_len[:, None]).reshape(-1)
+    abs_idx = (jnp.asarray(bases_np)[:, None] + r[None, :]).reshape(-1)
+    # Disowned rows get DISTINCT out-of-bounds indices (dropped) so
+    # unique_indices holds for the scatter's fast path.
+    flat_n = num_windows * fpw
+    abs_idx = jnp.where(owned, abs_idx, output_frames + jnp.arange(flat_n))
+    out = jnp.zeros((output_frames, e), jnp.float32)
+    out = out.at[abs_idx].set(
+        final.reshape(-1, e), mode="drop", unique_indices=True
+    )
+    return out

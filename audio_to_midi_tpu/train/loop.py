@@ -105,22 +105,63 @@ def train(
     t_start = time.time()
     step = start_step - 1
 
-    for step, batch in zip(range(start_step, num_steps + 1), data_loader):
-        events, audio = batch
+    # Feed path.  Default: device-resident input ring (data/device_ring.py) —
+    # the window pool lives in HBM as f16, batches are sampled + augmented on
+    # device, and the host refreshes ring slots asynchronously; per-step wire
+    # traffic is zero.  The ring is disabled when the loader augments on the
+    # host (a host-augmented window must not be reused with the same
+    # augmentation) or when input_ring_capacity == 0, falling back to
+    # per-step host batches (the reference's feed shape, train.py:345).
+    batch_size = cfg.train.batch_size
+    host_augmented_feed = cfg.transforms is not None and not cfg.train.augment_on_device
+    use_ring = cfg.train.input_ring_capacity > 0 and not host_augmented_feed
+    ring_settings = cfg.transforms if device_augment is not None else None
+    data_iter = iter(data_loader)
+    if use_ring:
+        from ..data.device_ring import DeviceInputRing, _Feeder
+
+        # Window shapes come from the first feed chunk (the feed is the
+        # source of truth; tests/tools feed non-production geometries).
+        ring = DeviceInputRing(cfg.train.input_ring_capacity, batch_size)
+        feeder = _Feeder(data_iter)
+        min_fill = min(batch_size, ring.capacity)
+
+    for step in range(start_step, num_steps + 1):
         key, step_key = jax.random.split(key)
+
+        if use_ring:
+            refresh = step % max(cfg.train.input_ring_refresh_period, 1) == 0
+            ring.pull(
+                feeder, min_fill=min_fill, max_chunks=1 if refresh else 0
+            )
+            key, sample_key = jax.random.split(key)
+            audio_mb, events_mb = ring.sample(
+                sample_key, batch_size, minibatch, ring_settings
+            )
+        else:
+            try:
+                events, audio = next(data_iter)
+            except StopIteration:
+                step -= 1  # no step ran for this iteration
+                break
+            if device_augment is not None:
+                # Ship the wire as f16: decoded audio is already f16-rounded
+                # (python.rs:236-264), so the transfer is lossless — and half
+                # the bytes of f32 on transfer-bound links.
+                audio = jnp.asarray(np.asarray(audio, dtype=np.float16))
+                events = jnp.asarray(np.asarray(events, dtype=np.float16))
+                key, aug_key = jax.random.split(key)
+                audio, events = device_augment(
+                    audio.astype(jnp.float32), events.astype(jnp.float32), aug_key
+                )
+            else:
+                audio = jnp.asarray(audio)
+                events = jnp.asarray(events)
+            audio_mb = reshape_to_minibatches(audio, minibatch)
+            events_mb = reshape_to_minibatches(events, minibatch)
 
         if use_loss_scaling and step % cfg.train.recovery_snapshot_every == 0:
             recovery = (_copy_to_host(params), _copy_to_host(opt_state))
-
-        audio = jnp.asarray(audio)
-        events = jnp.asarray(events)
-        if device_augment is not None:
-            key, aug_key = jax.random.split(key)
-            audio, events = device_augment(
-                audio.astype(jnp.float32), events.astype(jnp.float32), aug_key
-            )
-        audio_mb = reshape_to_minibatches(audio, minibatch)
-        events_mb = reshape_to_minibatches(events, minibatch)
 
         out = train_step(
             params, opt_state, audio_mb, events_mb, step_key,

@@ -133,6 +133,61 @@ def test_non_aac_ffmpeg_no_trim(monkeypatch):
     assert "atrim" not in cmd and "-c:a aac" not in cmd
 
 
+@pytest.mark.parametrize("src_rate", [44100.0, 48000.0, 22050.0])
+def test_aac_ffmpeg_command_pure(src_rate):
+    """Pure command construction (_ffmpeg_command): exact delay-trim math
+    for several source rates — asserted in every suite run, no ffmpeg needed
+    (the binary cannot be installed in this environment: no apt/pip)."""
+    cmd, left_f, right_f = audio_io._ffmpeg_command("/x/s.aac", 16000, src_rate)
+    joined = " ".join(cmd)
+    delay = (2 * 1024) / src_rate
+    assert f"atrim=start={delay}" in joined
+    assert joined.count("atrim") == 2  # both channels trimmed
+    assert "-c:a aac" in joined
+    assert str(left_f) in cmd and str(right_f) in cmd
+    # Non-AAC: no decoder forcing, no trim.
+    cmd2, _, _ = audio_io._ffmpeg_command("/x/s.mp3", 16000, None)
+    j2 = " ".join(cmd2)
+    assert "atrim" not in j2 and "-c:a aac" not in j2
+
+
+def test_aac_full_load_path_golden(monkeypatch):
+    """Value-level golden through modelutil-parity load_full_audio with a
+    mocked ffmpeg: the raw streams the decoder would produce flow through
+    loudness normalization and the f16 decode round-trip exactly
+    (python.rs:236-264, 373-394)."""
+    from audio_to_midi_tpu.data.loader import load_full_audio
+
+    rng = np.random.default_rng(3)
+    left = (0.4 * rng.standard_normal(1000)).astype(np.float32)
+    right = (0.2 * rng.standard_normal(998)).astype(np.float32)  # unequal legs
+
+    def fake_probe(path):
+        return 44100.0
+
+    def fake_run(cmd, capture_output=True, check=True, **kw):
+        for tok in cmd:
+            if isinstance(tok, str) and tok.endswith("_left.raw"):
+                left.tofile(tok)
+            elif isinstance(tok, str) and tok.endswith("_right.raw"):
+                right.tofile(tok)
+        return subprocess.CompletedProcess(cmd, 0, b"", b"")
+
+    monkeypatch.setattr(audio_io, "_ffprobe_sample_rate", fake_probe)
+    monkeypatch.setattr(audio_io.subprocess, "run", fake_run)
+    monkeypatch.setattr(audio_io, "_have_ffmpeg", lambda: True)
+
+    out = load_full_audio("/tmp/fake_song.aac", 16000)
+    # Golden: truncate to min leg, normalize to unit variance, f16 round-trip.
+    n = 998
+    stacked = np.stack([left[:n], right[:n]])
+    variance = np.mean(np.square(stacked, dtype=np.float64))
+    expect = (stacked * np.sqrt(1.0 / variance)).astype(np.float32)
+    expect = expect.astype(np.float16).astype(np.float32)
+    assert out.shape == (2, n)
+    np.testing.assert_array_equal(out, expect)
+
+
 @pytest.mark.skipif(shutil.which("ffmpeg") is None, reason="ffmpeg not installed")
 def test_aac_delay_trim_end_to_end(tmp_path):
     """With a real ffmpeg: AAC-encode a tone, decode through the fallback,

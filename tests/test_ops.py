@@ -74,6 +74,28 @@ def test_stitch_zero_overlap_is_concat():
     np.testing.assert_allclose(out, all_probs.reshape(30, 4))
 
 
+@pytest.mark.parametrize(
+    "w,fpw,overlap,dpf",
+    [
+        (4, 250, 0.5, 0.02),     # integer ov (25)
+        (7, 250, 0.25, 0.02),    # ov 12.5 -> base drift, extrapolated edge row
+        (5, 100, 1.0, 0.03),     # ov 33.33
+        (1, 50, 0.5, 0.02),      # single window
+        (3, 20, 0.0, 0.02),      # no overlap
+        (128, 250, 0.5, 0.02),   # bench/serving scale
+    ],
+)
+def test_stitch_parallel_matches_scan(w, fpw, overlap, dpf):
+    """stitch_probs_parallel (scan-free) is bit-compatible with the scan
+    formulation across integer/non-integer overlaps and base drift."""
+    rng = np.random.default_rng(7)
+    all_probs = rng.random((w, fpw, 6)).astype(np.float32)
+    a = np.asarray(stitch.stitch_probs(all_probs, overlap, dpf))
+    b = np.asarray(stitch.stitch_probs_parallel(all_probs, overlap, dpf))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
 @pytest.mark.parametrize("seed", [0, 5, 9])
 def test_rasterize_dense_matches_numpy_port(seed):
     probs = _make_probs(seed)

@@ -1,17 +1,23 @@
 """End-to-end serving benchmark: time the FULL transcription pipeline
 (decode file -> window -> model -> crossfade stitch -> eventize -> MIDI) on a
 long synthetic WAV, so the forward-only bench.py number cannot be mistaken
-for the whole pipeline (VERDICT round-1 item #10).
+for the whole pipeline.
+
+Round 3 additions (VERDICT item 6): >= 5 repeats with variance, a per-stage
+breakdown run (instrumented with device syncs, so it shows the UN-overlapped
+stage costs and proves where the floor is), and a MIDI-only mode that skips
+the (frames, 90) stitched fetch.
 
 Writes SERVEBENCH.json and prints one JSON line.
 
-Usage: python tools/serving_bench.py [--minutes 10] [--repeats 3]
+Usage: python tools/serving_bench.py [--minutes 10] [--repeats 5]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import sys
 import tempfile
 import time
@@ -23,11 +29,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--minutes", type=float, default=10.0)
-    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--out", default="SERVEBENCH.json")
     args = p.parse_args()
 
     import jax
+
+    from audio_to_midi_tpu.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
     import numpy as np
 
     from audio_to_midi_tpu.config import Config
@@ -57,15 +67,34 @@ def main() -> int:
     stitched, dpf, ev = transcribe_file(params, cfg, wav, rope=rope)
     compile_s = time.perf_counter() - t0
 
-    times = []
-    for _ in range(args.repeats):
+    def run(fetch_stitched: bool):
         t0 = time.perf_counter()
-        stitched, dpf, ev = transcribe_file(params, cfg, wav, rope=rope)
+        st, dpf, ev = transcribe_file(
+            params, cfg, wav, rope=rope, fetch_stitched=fetch_stitched
+        )
         mid = Path(tempfile.gettempdir()) / "a2m_serving_bench.mid"
         write_midi_file(ev, dpf, mid)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+        return time.perf_counter() - t0, st, ev
 
+    times = []
+    for _ in range(args.repeats):
+        dt, stitched, ev = run(fetch_stitched=True)
+        times.append(dt)
+    times_midi_only = []
+    for _ in range(args.repeats):
+        dt, _, ev2 = run(fetch_stitched=False)
+        times_midi_only.append(dt)
+    assert ev2 == ev, "fetch_stitched=False must not change the events"
+
+    # Instrumented breakdown (device sync per stage — un-overlapped costs).
+    stages: dict = {}
+    t0 = time.perf_counter()
+    _st, dpf, _ev = transcribe_file(
+        params, cfg, wav, rope=rope, stage_times=stages
+    )
+    stages["total_instrumented"] = time.perf_counter() - t0
+
+    best = min(times)
     result = {
         "metric": "serving_throughput_end_to_end",
         "audio_seconds": seconds,
@@ -73,15 +102,19 @@ def main() -> int:
         "value": round(seconds / best, 1),
         "unit": "audio_sec/sec/chip",
         "repeat_wall_seconds": [round(t, 2) for t in times],
+        "median_wall_seconds": round(statistics.median(times), 3),
+        "midi_only_wall_seconds": [round(t, 2) for t in times_midi_only],
+        "midi_only_best_x": round(seconds / min(times_midi_only), 1),
+        "stage_breakdown_seconds": {k: round(v, 3) for k, v in stages.items()},
         "first_call_with_compile_s": round(compile_s, 1),
         "events": len(ev),
         "frames": int(np.asarray(stitched).shape[0]),
         "pipeline": "decode->window->model->stitch->eventize->midi",
         "note": (
-            "wall time on this tunneled setup is dominated by host decode "
-            "and relay transfer latency, both of which vary several-fold "
-            "run to run (best observed: 3.4s = 174x); device compute is "
-            "~0.5s of the total"
+            "stage_breakdown is an instrumented run with a device sync after "
+            "each stage (un-overlapped costs); the normal path dispatches "
+            "everything async so transfer/compute overlap — wall_seconds is "
+            "the honest end-to-end number on this tunneled 1-chip setup"
         ),
     }
     Path(args.out).write_text(json.dumps(result, indent=2) + "\n")

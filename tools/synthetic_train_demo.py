@@ -43,8 +43,17 @@ def main():
     p.add_argument("--val-samples", type=int, default=4)
     p.add_argument("--lr", type=float, default=4e-4)
     p.add_argument("--workdir", default=None)
+    p.add_argument(
+        "--variety", action="store_true",
+        help="timbre-varied + chordal synthetic data (generalization mode)",
+    )
+    p.add_argument("--json-out", default=None, help="write results JSON here")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO, force=True)  # jax grabs root first
+
+    from audio_to_midi_tpu.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
 
     work = Path(args.workdir or tempfile.mkdtemp(prefix="a2m_demo_"))
     import os
@@ -53,11 +62,11 @@ def main():
     train_dir, val_dir = work / "train", work / "val"
     synthetic.make_synthetic_dataset(
         train_dir, num_samples=args.train_samples, duration_s=5.0,
-        notes_per_sample=8, seed=100,
+        notes_per_sample=8, seed=100, variety=args.variety,
     )
     synthetic.make_synthetic_dataset(
         val_dir, num_samples=args.val_samples, duration_s=5.0,
-        notes_per_sample=8, seed=999,
+        notes_per_sample=8, seed=999, variety=args.variety,
     )
 
     cfg = Config(
@@ -95,7 +104,9 @@ def main():
         num_workers=0,
         num_epochs=10**6,
         output_divisions=num_frames,
-        transform_settings=cfg.transforms,  # full augmentation suite
+        # Full augmentation suite runs ON DEVICE by default
+        # (TrainConfig.augment_on_device) — the loader feeds raw windows.
+        transform_settings=None,
         use_grain=False,
     )
 
@@ -105,14 +116,30 @@ def main():
     )
     manager.wait_until_finished()
 
+    results = {}
     for name, d in (("train", train_dir), ("holdout", val_dir)):
         loss, hit, eventized, _ = compute_testset_loss(
             params, cfg, d, num_frames, rope, ensemble=True
         )
+        results[name] = {
+            "loss": round(float(loss[0]), 2),
+            "hit_rate": round(float(hit[0]), 4),
+            "eventized_diff": round(float(eventized[0]), 2),
+        }
         print(
             f"{name}: loss={float(loss[0]):.2f} hit_rate={float(hit[0]):.4f} "
             f"eventized_diff={float(eventized[0]):.2f}",
             flush=True,
+        )
+    if args.json_out:
+        import json
+
+        meta = {
+            "steps": args.steps, "batch": args.batch,
+            "train_samples": args.train_samples, "variety": args.variety,
+        }
+        Path(args.json_out).write_text(
+            json.dumps({**meta, **results}, indent=2) + "\n"
         )
     return 0
 

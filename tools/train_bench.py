@@ -31,9 +31,18 @@ def main() -> int:
     p.add_argument("--minibatch", type=int, default=8)
     p.add_argument("--out", default="TRAINBENCH.json")
     p.add_argument("--skip-loader", action="store_true")
+    p.add_argument(
+        "--modes", default="device,ring,wire,host,devaug",
+        help="comma list of modes to run (device,ring,wire,host,devaug)",
+    )
     args = p.parse_args()
+    modes = set(args.modes.split(","))
 
     import jax
+
+    from audio_to_midi_tpu.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -96,17 +105,18 @@ def main() -> int:
     t0 = time.perf_counter()
     run_steps(2, lambda i: (audio_mb, labels_mb))  # compile + warm
     print(f"compile+warm: {time.perf_counter() - t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    run_steps(args.steps, lambda i: (audio_mb, labels_mb))
-    dt = (time.perf_counter() - t0) / args.steps
-    sps = 1.0 / dt
-    audio_sec_s = sps * args.batch * cfg.data.model_audio_length
-    results["device_resident"] = {
-        "batch": args.batch, "minibatch": minibatch,
-        "steps_per_s": round(sps, 3), "train_audio_sec_per_s": round(audio_sec_s, 1),
-        "ms_per_step": round(dt * 1e3, 2),
-    }
-    print(json.dumps({"mode": "device_resident", **results["device_resident"]}), flush=True)
+    if "device" in modes:
+        t0 = time.perf_counter()
+        run_steps(args.steps, lambda i: (audio_mb, labels_mb))
+        dt = (time.perf_counter() - t0) / args.steps
+        sps = 1.0 / dt
+        audio_sec_s = sps * args.batch * cfg.data.model_audio_length
+        results["device_resident"] = {
+            "batch": args.batch, "minibatch": minibatch,
+            "steps_per_s": round(sps, 3), "train_audio_sec_per_s": round(audio_sec_s, 1),
+            "ms_per_step": round(dt * 1e3, 2),
+        }
+        print(json.dumps({"mode": "device_resident", **results["device_resident"]}), flush=True)
 
     # -- real loader path --------------------------------------------------
     if not args.skip_loader:
@@ -129,10 +139,67 @@ def main() -> int:
             lambda a, e, k: transform_for_training_device(a, e, cfg.transforms, k)
         )
 
-        for mode, host_transforms in (
-            ("loader_host_augment", cfg.transforms),
-            ("loader_device_augment", None),
-        ):
+        # -- device input ring (the default training feed) -----------------
+        from audio_to_midi_tpu.data.device_ring import DeviceInputRing, _Feeder
+
+        if "ring" in modes:
+          ldr = loader_lib.ThreadedBatchLoader(
+            work, batch_size=args.batch, num_model_output_frames=num_frames,
+            num_workers=cfg.train.dataset_num_workers,
+            transform_settings=None,
+          )
+          with ldr:
+            ring = DeviceInputRing(1024, args.batch)
+            feeder = _Feeder(iter(ldr))
+            skey = jax.random.PRNGKey(11)
+
+            def feed_ring(i):
+                nonlocal skey
+                ring.pull(feeder, min_fill=args.batch)
+                skey, k = jax.random.split(skey)
+                return ring.sample(k, args.batch, minibatch, cfg.transforms)
+
+            run_steps(2, feed_ring)  # warm
+            t0 = time.perf_counter()
+            run_steps(args.steps, feed_ring)
+            dt = (time.perf_counter() - t0) / args.steps
+          sps = 1.0 / dt
+          results["loader_ring"] = {
+            "batch": args.batch, "minibatch": minibatch,
+            "steps_per_s": round(sps, 3),
+            "train_audio_sec_per_s": round(sps * args.batch * cfg.data.model_audio_length, 1),
+            "ms_per_step": round(dt * 1e3, 2),
+            "ring_capacity": ring.capacity,
+            "windows_refreshed": ring.pushed_windows,
+            "note": "device-resident ring: sample+augment on device, async host refresh",
+          }
+          print(json.dumps({"mode": "loader_ring", **results["loader_ring"]}), flush=True)
+
+        # -- raw wire bandwidth over the host->device link ------------------
+        if "wire" in modes:
+          chunk = np.random.default_rng(0).standard_normal(
+            (args.batch, 2, cfg.data.samples_per_window)
+          ).astype(np.float16)
+          jax.block_until_ready(jax.device_put(chunk))  # warm path
+          bws = []
+          for i in range(5):
+            fresh = chunk + np.float16(i + 1)
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(fresh))
+            bws.append(chunk.nbytes / (time.perf_counter() - t0) / 1e6)
+          results["wire_bandwidth_MBps"] = {
+            "chunk_mb": round(chunk.nbytes / 1e6, 1),
+            "runs": [round(b, 1) for b in bws],
+            "median": round(sorted(bws)[2], 1),
+          }
+          print(json.dumps({"mode": "wire", **results["wire_bandwidth_MBps"]}), flush=True)
+
+        host_modes = []
+        if "host" in modes:
+            host_modes.append(("loader_host_augment", cfg.transforms))
+        if "devaug" in modes:
+            host_modes.append(("loader_device_augment", None))
+        for mode, host_transforms in host_modes:
             ldr = loader_lib.ThreadedBatchLoader(
                 work, batch_size=args.batch, num_model_output_frames=num_frames,
                 num_workers=cfg.train.dataset_num_workers,
