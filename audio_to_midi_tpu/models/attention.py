@@ -38,6 +38,7 @@ from ..ops.pallas_attention import (
     fused_local_two_phase_dropout,
     fused_local_two_phase_rw,
     fused_rope_attention,
+    mosaic_dtype_ok,
 )
 from . import nn
 from .nn import Params
@@ -121,8 +122,9 @@ def _attend(
         and q.shape[-3] >= 128
         and dropout_threshold(dropout_rate) > 0
     )
-    if impl in ("pallas", "pallas_rw") and (not enable_dropout or drop_kernel_ok
-                             or dropout_threshold(dropout_rate) == 0):
+    if impl in ("pallas", "pallas_rw") and mosaic_dtype_ok(q.dtype) and (
+            not enable_dropout or drop_kernel_ok
+            or dropout_threshold(dropout_rate) == 0):
         # Natural-layout kernel: (.., S, H, hd) -> (G, S, H*hd) is a free
         # reshape (no transposes, so no XLA relayout copies around the call).
         *lead, s, h, hd = q.shape
@@ -211,7 +213,8 @@ def self_attention(
     # Dropout only gates the kernel paths when it actually does something —
     # rate 0.0 (or inference) keeps the fast kernels even in training.
     enable_dropout = enable_dropout and cfg.transformer_dropout_rate > 0
-    if cfg.attention_impl == "pallas_block" and not enable_dropout and x.ndim == 3:
+    if (cfg.attention_impl == "pallas_block" and not enable_dropout
+            and x.ndim == 3 and mosaic_dtype_ok(x.dtype)):
         # Whole-block megakernel (proj+rope+attn+out-proj in one kernel).
         # Measured slightly slower than "pallas" at B=128 on v5e (per-sample
         # projections lose to batched XLA matmuls) — kept as an option for
@@ -265,7 +268,8 @@ def local_self_attention(
     num_blocks = padded // stride
     assert num_blocks == num_windows + 1
 
-    if cfg.attention_impl == "pallas_block" and not enable_dropout:
+    if (cfg.attention_impl == "pallas_block" and not enable_dropout
+            and mosaic_dtype_ok(x.dtype)):
         # One kernel does windowing + proj + rope + masked attention +
         # overlap-average + out-proj entirely in VMEM; crop reproduces the
         # reference's padded-coordinate quirk.
@@ -276,6 +280,7 @@ def local_self_attention(
 
     if (
         cfg.attention_impl in ("pallas", "pallas_rw")
+        and mosaic_dtype_ok(x.dtype)
         and (not enable_dropout or key is not None)
         and padded % window == 0
         and padded % 16 == 0
@@ -303,9 +308,9 @@ def local_self_attention(
         qb, kb = _rope_with(q, cos_b, sin_b), _rope_with(k, cos_b, sin_b)
         threshold = dropout_threshold(cfg.transformer_dropout_rate)
         if enable_dropout and threshold > 0:
-            bits = jax.random.bits(
-                key, (2, b, heads, padded, padded), dtype=jnp.uint8
-            )
+            from ..ops.pallas_attention import random_bits_fast
+
+            bits = random_bits_fast(key, (2, b, heads, padded, padded))
             out = fused_local_two_phase_dropout(
                 flat(qa), flat(ka), flat(qb), flat(kb), v, bits[0], bits[1],
                 heads, window, threshold,

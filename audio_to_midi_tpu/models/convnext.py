@@ -204,9 +204,10 @@ def cnn_forward(
 
         depth_i = cfg.depths[i]
 
-        if not enable_sdd and cfg.cnn_impl == "pallas_stage" and stage_supported(
+        if (not enable_sdd and cfg.cnn_impl == "pallas_stage"
+                and h.dtype != jnp.float16 and stage_supported(
             h.shape[1], cfg.dims[i], depth_i
-        ):
+        )):
             # Whole-stage megakernel (ops/pallas_convnext.py).  Measured
             # SLOWER than XLA on v5e for the default geometry (stage 6:
             # 3.45 ms vs 1.97 — the 7 serial depthwise taps starve the MXU),

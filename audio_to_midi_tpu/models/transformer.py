@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops import pallas_pair
+from ..ops import pallas_attention, pallas_pair
 
 from . import nn
 from .attention import (
@@ -298,6 +298,7 @@ def _pair_kernel_applicable(cfg: ModelConfig, x: jax.Array, enable_dropout: bool
         cfg.attention_impl not in ("pallas_pair", "pallas_fused")
         or (enable_dropout and cfg.transformer_dropout_rate > 0)
         or x.ndim != 3
+        or not pallas_attention.mosaic_dtype_ok(x.dtype)
     ):
         return False
     s = x.shape[1]

@@ -280,6 +280,30 @@ def dropout_threshold(rate: float) -> int:
     return int(round(rate * 256.0))
 
 
+def mosaic_dtype_ok(dtype) -> bool:
+    """Mosaic (Pallas TPU) rejects f16 ("Unsupported type in mosaic dialect:
+    'f16'"), so the f16 loss-scaling precision policy must take the XLA
+    attention paths.  Every kernel-dispatch gate checks this."""
+    return jnp.dtype(dtype) != jnp.float16
+
+
+def random_bits_fast(key, shape) -> jax.Array:
+    """uint8 random bits via the TPU hardware RNG (rbg).
+
+    Dropout needs hundreds of MB of bits per training step (regenerated in
+    the remat replay); threefry generates them in VPU arithmetic while rbg
+    uses the hardware PRNG instruction.  The threefry ``key`` is folded into
+    rbg key data, so streams stay keyed; bit quality is ample for dropout.
+    Falls back to threefry where rbg is unavailable.
+    """
+    try:
+        data = jax.random.bits(key, (4,), dtype=jnp.uint32)
+        rbg_key = jax.random.wrap_key_data(data, impl="rbg")
+        return jax.random.bits(rbg_key, shape, dtype=jnp.uint8)
+    except Exception:  # pragma: no cover - impl not registered
+        return jax.random.bits(key, shape, dtype=jnp.uint8)
+
+
 def _apply_bits(weights_f32, bits, threshold: int):
     """weights: fp32; bits: uint8 same shape.  Inverted dropout.
 
@@ -432,7 +456,7 @@ def attend_nhd_dropout(
     if s_pad != s:
         pad = ((0, 0), (0, s_pad - s), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    bits = jax.random.bits(key, (g, num_heads, s_pad, s_pad), dtype=jnp.uint8)
+    bits = random_bits_fast(key, (g, num_heads, s_pad, s_pad))
     out = fused_attention_nhd_dropout(
         q, k, v, bits, num_heads, block, threshold, s
     )

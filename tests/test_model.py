@@ -135,6 +135,44 @@ def test_local_attention_matches_reference_scatter(seq_len):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_f16_routes_to_xla_paths(monkeypatch):
+    """Mosaic has no f16 support ("Unsupported type in mosaic dialect: 'f16'",
+    hit on the r03 soak's f16 loss-scaling leg): every kernel-dispatch gate
+    must fall back to the XLA attention paths for float16 activations."""
+    cfg = ModelConfig(
+        dims=(4,), depths=(1,), num_transformer_layers=1,
+        num_transformer_heads=2, attention_size=8,
+        compressed_attention_kv_size=8, compressed_attention_q_size=8,
+    )
+    p = attention.init_self_attention(jax.random.PRNGKey(3), cfg)
+    rope = precompute_frequencies(cfg.attention_size, 600)
+
+    def boom(*a, **k):
+        raise AssertionError("pallas kernel dispatched for f16 input")
+
+    for name in ("fused_attention_nhd_diff", "fused_local_two_phase",
+                 "fused_local_two_phase_rw", "fused_local_two_phase_dropout",
+                 "attend_nhd_dropout", "fused_attention_layer_diff"):
+        monkeypatch.setattr(attention, name, boom)
+
+    x16 = jax.random.normal(
+        jax.random.PRNGKey(4), (1, 256, 4)
+    ).astype(jnp.float16)
+    p16 = jax.tree.map(lambda a: a.astype(jnp.float16), p)
+    out = attention.local_self_attention(x16, p16, rope, cfg)
+    assert out.dtype == jnp.float16
+    out = attention.self_attention(x16, p16, rope, cfg)
+    assert out.dtype == jnp.float16
+
+    # Positive control: bf16 activations do dispatch the kernels.
+    xb = x16.astype(jnp.bfloat16)
+    pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+    with pytest.raises(AssertionError, match="pallas kernel"):
+        attention.local_self_attention(xb, pb, rope, cfg)
+    with pytest.raises(AssertionError, match="pallas kernel"):
+        attention.self_attention(xb, pb, rope, cfg)
+
+
 def test_layer_norm_matches_manual_fp32():
     p = nn.init_layer_norm(8)
     x = jax.random.normal(jax.random.PRNGKey(0), (3, 8), dtype=jnp.bfloat16)

@@ -31,6 +31,8 @@ def main() -> int:
     p.add_argument("--minibatch", type=int, default=8)
     p.add_argument("--out", default="TRAINBENCH.json")
     p.add_argument("--skip-loader", action="store_true")
+    p.add_argument("--dropout-rate", type=float, default=None,
+                   help="override transformer_dropout_rate (default: config 0.1)")
     p.add_argument(
         "--modes", default="device,ring,wire,host,devaug",
         help="comma list of modes to run (device,ring,wire,host,devaug)",
@@ -62,6 +64,15 @@ def main() -> int:
             num_steps=200_000,
         )
     )
+    if args.dropout_rate is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, transformer_dropout_rate=args.dropout_rate
+            ),
+        )
     mesh = make_mesh(1)
     rope = model_lib.make_rope(cfg.model)
     num_frames = cfg.model.output_frames(cfg.data.samples_per_window)
