@@ -28,6 +28,21 @@ from .train import checkpoint as ckpt
 log = logging.getLogger(__name__)
 
 
+def _parity_precision(param_dtype):
+    """f32 inference is the checkpoint-parity mode (reference infer.py:27-32
+    runs f32).  On TPU, DEFAULT matmul precision executes f32 dots as bf16
+    MXU passes — ~4e-3 relative drift vs true f32 (measured: pallas/xla both,
+    see tools/tpu_selftest.py) — so imported reference checkpoints would not
+    reproduce reference outputs.  Tracing under 'highest' restores true-f32
+    matmuls (parity to ~2e-7); bf16 serving (the speed mode) is unaffected.
+    JAX keys jit caches on this config, so both modes coexist."""
+    import contextlib
+
+    if jnp.dtype(param_dtype) == jnp.float32:
+        return jax.default_matmul_precision("highest")
+    return contextlib.nullcontext()
+
+
 def load_newest_checkpoint(
     checkpoint_path: str | Path,
     cfg: Config = DEFAULT_CONFIG,
@@ -88,10 +103,11 @@ def predict_and_stitch(
 ):
     """(W, 2, N) windows -> (per-window probs, stitched probs, dpf)."""
     rope = rope if rope is not None else model_lib.make_rope(cfg.model)
-    probs = _predict_windows(params, cfg.model, jnp.asarray(samples), rope)
-    probs = probs.astype(jnp.float32)
-    duration_per_frame = window_duration / probs.shape[1]
-    stitched = stitch_probs(probs, overlap, duration_per_frame)
+    with _parity_precision(jax.tree.leaves(params)[0].dtype):
+        probs = _predict_windows(params, cfg.model, jnp.asarray(samples), rope)
+        probs = probs.astype(jnp.float32)
+        duration_per_frame = window_duration / probs.shape[1]
+        stitched = stitch_probs(probs, overlap, duration_per_frame)
     return np.asarray(probs), np.asarray(stitched), duration_per_frame
 
 
@@ -242,10 +258,11 @@ def transcribe_file(
         if num_windows % data_size:  # pad to a whole per-device shard
             pad_to = -(-num_windows // data_size) * data_size
             short = jnp.pad(short, ((0, pad_to - num_windows), (0, 0), (0, 0)))
-        stitched_dev = predict_and_stitch_fused(
-            params, cfg.model, place(short), rope, window_duration, overlap,
-            valid_windows=num_windows,
-        )
+        with _parity_precision(param_dtype):
+            stitched_dev = predict_and_stitch_fused(
+                params, cfg.model, place(short), rope, window_duration, overlap,
+                valid_windows=num_windows,
+            )
     else:
         chunks = []
         for lo in range(0, num_windows, max_windows_per_batch):
@@ -255,7 +272,8 @@ def transcribe_file(
                 chunk = jnp.pad(
                     chunk, ((0, max_windows_per_batch - take), (0, 0), (0, 0))
                 )
-            probs = _predict_windows(params, cfg.model, place(chunk), rope)
+            with _parity_precision(param_dtype):
+                probs = _predict_windows(params, cfg.model, place(chunk), rope)
             chunks.append(probs[:take].astype(jnp.float32))
         all_probs = jnp.concatenate(chunks)
         duration_per_frame = window_duration / all_probs.shape[1]

@@ -308,13 +308,21 @@ def local_self_attention(
         qb, kb = _rope_with(q, cos_b, sin_b), _rope_with(k, cos_b, sin_b)
         threshold = dropout_threshold(cfg.transformer_dropout_rate)
         if enable_dropout and threshold > 0:
-            from ..ops.pallas_attention import random_bits_fast
+            from ..ops import pallas_attention as pa
 
-            bits = random_bits_fast(key, (2, b, heads, padded, padded))
-            out = fused_local_two_phase_dropout(
-                flat(qa), flat(ka), flat(qb), flat(kb), v, bits[0], bits[1],
-                heads, window, threshold,
-            )
+            if pa.prng_dropout_available():
+                # Mask generated in-kernel by the TPU hardware PRNG — no
+                # bits to generate or stream through HBM (PERF.md round 3).
+                out = pa.fused_local_two_phase_dropout_prng(
+                    flat(qa), flat(ka), flat(qb), flat(kb), v,
+                    pa.seed_from_key(key), heads, window, threshold,
+                )
+            else:
+                bits = pa.random_bits_fast(key, (2, b, heads, padded, padded))
+                out = fused_local_two_phase_dropout(
+                    flat(qa), flat(ka), flat(qb), flat(kb), v,
+                    bits[0], bits[1], heads, window, threshold,
+                )
         elif cfg.attention_impl == "pallas_rw":
             out = fused_local_two_phase_rw(
                 flat(qa), flat(ka), flat(qb), flat(kb), v, heads, window

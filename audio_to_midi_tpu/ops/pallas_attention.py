@@ -456,10 +456,15 @@ def attend_nhd_dropout(
     if s_pad != s:
         pad = ((0, 0), (0, s_pad - s), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    bits = random_bits_fast(key, (g, num_heads, s_pad, s_pad))
-    out = fused_attention_nhd_dropout(
-        q, k, v, bits, num_heads, block, threshold, s
-    )
+    if prng_dropout_available():
+        out = fused_attention_nhd_dropout_prng(
+            q, k, v, seed_from_key(key), num_heads, block, threshold, s
+        )
+    else:
+        bits = random_bits_fast(key, (g, num_heads, s_pad, s_pad))
+        out = fused_attention_nhd_dropout(
+            q, k, v, bits, num_heads, block, threshold, s
+        )
     return out[:, :s, :]
 
 
@@ -1571,3 +1576,443 @@ def _layer_bwd(num_heads, valid_len, window, residuals, g):
 
 
 fused_attention_layer_diff.defvjp(_layer_fwd, _layer_bwd)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel PRNG dropout: the dropout mask is generated INSIDE the kernels by
+# the TPU hardware PRNG (pltpu.prng_seed / prng_random_bits) instead of being
+# precomputed and streamed from HBM.  At batch 64 the precomputed uint8 bits
+# cost generation + an HBM stream through both the forward kernel and its
+# remat replay (~25 ms/step of the default-config training step, PERF.md
+# round 3); in-kernel generation removes both.  Each (sample, phase, head)
+# core reseeds deterministically from (s0, s1) x (global_sample, core_id) —
+# global_sample is the ABSOLUTE sample index, so forward, backward, and the
+# bits-dump kernel reproduce identical masks regardless of their grid cell
+# sizes (see `_prng_bits` for the 2-word seed fold).  The mask semantics are
+# bit-identical to the precomputed path: keep iff (bits & 0xFF) >= threshold,
+# inverted scaling by 256/(256-thr).
+#
+# Interpret mode (the CPU test suite) has no lowering for the prng
+# primitives in this JAX version ("MLIR translation rule for primitive
+# 'prng_seed' not found"), so the path is gated to real TPU
+# (`prng_dropout_available`) and validated ON-CHIP against the bits-dump
+# kernel + XLA mirror by tools/tpu_selftest.py (determinism, dumped-bits
+# mirror parity for fwd+grads, keep-rate statistics).
+# ---------------------------------------------------------------------------
+
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+
+def prng_dropout_available() -> bool:
+    return not _interpret() and _os.environ.get("A2M_PRNG_DROPOUT", "1") != "0"
+
+
+def seed_from_key(key) -> jax.Array:
+    """(2,) int32 seed material derived from a threefry key."""
+    return jax.lax.bitcast_convert_type(
+        jax.random.bits(key, (2,), jnp.uint32), jnp.int32
+    )
+
+
+def _fmix32(h):
+    """murmur3 finalizer (wrap-around int32 multiply, logical shifts)."""
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * jnp.int32(-2048144789)  # 0x85EBCA6B
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    h = h * jnp.int32(-1028477387)  # 0xC2B2AE35
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    return h
+
+
+def _prng_bits(seed_ref, global_s, core: int, shape):
+    """Reseed for one attention core and draw its low-byte bits (int32 in
+    [0, 255]; `_apply_bits`'s int32 compare consumes them directly).
+
+    Mosaic on this libtpu accepts at most TWO words in
+    ``tpu.prng_set_seed_32`` ("Setting seed with more than 2 values is not
+    supported"), so (global_s, core) are folded into the two seed words via
+    a murmur3-finalizer chain instead of being passed as extra values; the
+    chain decorrelates the per-core streams even though adjacent core ids
+    differ by 1."""
+    cid = _fmix32(global_s * 256 + core)
+    pltpu.prng_seed(seed_ref[0] ^ cid, seed_ref[1] ^ _fmix32(cid))
+    return jnp.bitwise_and(pltpu.prng_random_bits(shape), 255)
+
+
+def _two_phase_kernel_drop_prng(
+    seed_ref, qa_ref, ka_ref, qb_ref, kb_ref, v_ref, o_ref,
+    *, num_heads: int, window: int, threshold: int,
+):
+    """`_two_phase_kernel_drop` with the bits generated in-kernel."""
+    n, p_len, dm = qa_ref.shape
+    hd = dm // num_heads
+    stride = window // 2
+    scale = jnp.asarray(1.0 / math.sqrt(hd), qa_ref.dtype)
+
+    pr = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 1)
+    mask_a = pr // window == pc // window
+    in_band = (pc >= stride) & (pc < p_len - stride)
+    mask_b = ((pr - stride) // window == (pc - stride) // window) & in_band
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
+    b_rows = (col >= stride) & (col < p_len - stride)
+    inv_count = jnp.where(b_rows, 0.5, 1.0).astype(jnp.float32)
+
+    base = pl.program_id(0) * n
+    work = [(s, ph, h) for s in range(n) for ph in range(2) for h in range(num_heads)]
+
+    def logits_of(i):
+        s, ph, h = work[i]
+        q_ref, k_ref = ((qa_ref, ka_ref), (qb_ref, kb_ref))[ph]
+        sl = slice(h * hd, (h + 1) * hd)
+        logits = jax.lax.dot_general(
+            q_ref[s][:, sl] * scale, k_ref[s][:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.where(mask_a if ph == 0 else mask_b, logits, -1e30)
+
+    outs = {}
+    pending = logits_of(0)
+    for i, (s, ph, h) in enumerate(work):
+        nxt = logits_of(i + 1) if i + 1 < len(work) else None
+        weights = jax.nn.softmax(pending, axis=-1)
+        bits = _prng_bits(
+            seed_ref, base + s, ph * num_heads + h, (p_len, p_len)
+        )
+        weights = _apply_bits(weights, bits, threshold).astype(v_ref.dtype)
+        sl = slice(h * hd, (h + 1) * hd)
+        outs[(s, ph, h)] = jax.lax.dot_general(
+            weights, v_ref[s][:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pending = nxt
+
+    for s in range(n):
+        out_a = jnp.concatenate([outs[(s, 0, h)] for h in range(num_heads)], axis=-1)
+        out_b = jnp.concatenate([outs[(s, 1, h)] for h in range(num_heads)], axis=-1)
+        out_b = jnp.where(b_rows, out_b, jnp.zeros_like(out_b))
+        o_ref[s] = ((out_a + out_b) * inv_count).astype(o_ref.dtype)
+
+
+def _two_phase_drop_prng_impl(qa, ka, qb, kb, v, seed, num_heads, window, threshold):
+    b, p_len, dm = qa.shape
+    n = _two_phase_cell(b, p_len, dm)
+    spec = pl.BlockSpec((n, p_len, dm), lambda i, seed: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _two_phase_kernel_drop_prng,
+            num_heads=num_heads, window=window, threshold=threshold,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, p_len, dm), qa.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b // n,),
+            in_specs=[spec] * 5,
+            out_specs=spec,
+        ),
+        interpret=_interpret(),
+    )(seed, qa, ka, qb, kb, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_local_two_phase_dropout_prng(
+    qa, ka, qb, kb, v, seed, num_heads: int, window: int, threshold: int
+):
+    """Two-phase local attention + overlap averaging with attention-weight
+    dropout whose mask is generated in-kernel by the TPU PRNG.  ``seed``:
+    (2,) int32 (see `seed_from_key`)."""
+    return _two_phase_drop_prng_impl(
+        qa, ka, qb, kb, v, seed, num_heads, window, threshold
+    )
+
+
+def _two_phase_drop_prng_fwd(qa, ka, qb, kb, v, seed, num_heads, window, threshold):
+    out = _two_phase_drop_prng_impl(
+        qa, ka, qb, kb, v, seed, num_heads, window, threshold
+    )
+    return out, (qa, ka, qb, kb, v, seed)
+
+
+def _two_phase_bwd_kernel_drop_prng(
+    seed_ref, qa_ref, ka_ref, qb_ref, kb_ref, v_ref, g_ref,
+    dqa_ref, dka_ref, dqb_ref, dkb_ref, dv_ref,
+    *, num_heads: int, window: int, threshold: int,
+):
+    n, p_len, dm = qa_ref.shape
+    hd = dm // num_heads
+    stride = window // 2
+    scale = jnp.asarray(1.0 / math.sqrt(hd), qa_ref.dtype)
+
+    pr = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 1)
+    mask_a = pr // window == pc // window
+    in_band = (pc >= stride) & (pc < p_len - stride)
+    mask_b = ((pr - stride) // window == (pc - stride) // window) & in_band
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
+    b_rows = (col >= stride) & (col < p_len - stride)
+    inv_count = jnp.where(b_rows, 0.5, 1.0).astype(jnp.float32)
+
+    base = pl.program_id(0) * n
+    for s in range(n):
+        g = g_ref[s].astype(jnp.float32) * inv_count
+        g_b = jnp.where(b_rows, g, 0.0)
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            dqa, dka, dva = _core_grads(
+                qa_ref[s][:, sl], ka_ref[s][:, sl], v_ref[s][:, sl],
+                g[:, sl], mask_a, scale,
+                bits=_prng_bits(seed_ref, base + s, h, (p_len, p_len)),
+                threshold=threshold,
+            )
+            dqb, dkb, dvb = _core_grads(
+                qb_ref[s][:, sl], kb_ref[s][:, sl], v_ref[s][:, sl],
+                g_b[:, sl], mask_b, scale,
+                bits=_prng_bits(
+                    seed_ref, base + s, num_heads + h, (p_len, p_len)
+                ),
+                threshold=threshold,
+            )
+            dqa_ref[s, :, sl] = dqa.astype(dqa_ref.dtype)
+            dka_ref[s, :, sl] = dka.astype(dka_ref.dtype)
+            dqb_ref[s, :, sl] = dqb.astype(dqb_ref.dtype)
+            dkb_ref[s, :, sl] = dkb.astype(dkb_ref.dtype)
+            dv_ref[s, :, sl] = (dva + dvb).astype(dv_ref.dtype)
+
+
+def two_phase_grads_drop_prng(
+    qa, ka, qb, kb, v, seed, g, num_heads: int, window: int, threshold: int
+):
+    b, p_len, dm = qa.shape
+    n = _two_phase_bwd_cell(b, p_len, dm)
+    spec = pl.BlockSpec((n, p_len, dm), lambda i, seed: (i, 0, 0))
+    shapes = [jax.ShapeDtypeStruct((b, p_len, dm), qa.dtype)] * 5
+    return pl.pallas_call(
+        functools.partial(
+            _two_phase_bwd_kernel_drop_prng,
+            num_heads=num_heads, window=window, threshold=threshold,
+        ),
+        out_shape=shapes,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b // n,),
+            in_specs=[spec] * 6,
+            out_specs=[spec] * 5,
+        ),
+        interpret=_interpret(),
+    )(seed, qa, ka, qb, kb, v, g)
+
+
+def _zero_seed_cotangent(seed):
+    import numpy as np
+
+    return np.zeros(seed.shape, jax.dtypes.float0)
+
+
+def _two_phase_drop_prng_bwd(num_heads, window, threshold, residuals, g):
+    qa, ka, qb, kb, v, seed = residuals
+    if _use_bwd_kernel():
+        grads = two_phase_grads_drop_prng(
+            qa, ka, qb, kb, v, seed, g, num_heads, window, threshold
+        )
+        return (*grads, _zero_seed_cotangent(seed))
+    bits = dump_bits_two_phase(seed, qa.shape[0], num_heads, qa.shape[1])
+    _, vjp = jax.vjp(
+        lambda *a: _two_phase_reference_bits(
+            *a, bits[0], bits[1], num_heads=num_heads, window=window,
+            threshold=threshold,
+        ),
+        qa, ka, qb, kb, v,
+    )
+    grads = vjp(g)
+    return (*grads, _zero_seed_cotangent(seed))
+
+
+fused_local_two_phase_dropout_prng.defvjp(
+    _two_phase_drop_prng_fwd, _two_phase_drop_prng_bwd
+)
+
+
+def _bits_dump_kernel(seed_ref, o_ref, *, cores: int):
+    """Dump the per-core PRNG bits (test oracle + XLA-fallback backward).
+    o_ref: (1, cores, P, P) int32."""
+    _, _, p_len, _ = o_ref.shape
+    base = pl.program_id(0)
+    for core in range(cores):
+        o_ref[0, core] = _prng_bits(seed_ref, base, core, (p_len, p_len))
+
+
+def _dump_bits(seed, b: int, cores: int, p_len: int):
+    spec = pl.BlockSpec((1, cores, p_len, p_len), lambda i, seed: (i, 0, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_bits_dump_kernel, cores=cores),
+        out_shape=jax.ShapeDtypeStruct((b, cores, p_len, p_len), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(b,), in_specs=[], out_specs=spec,
+        ),
+        interpret=_interpret(),
+    )(seed)
+    return out.astype(jnp.uint8)
+
+
+def dump_bits_two_phase(seed, b: int, num_heads: int, p_len: int):
+    """(2, B, H, P, P) uint8 — the masks the two-phase PRNG kernels use."""
+    bits = _dump_bits(seed, b, 2 * num_heads, p_len)
+    return bits[:, :num_heads], bits[:, num_heads:]
+
+
+def dump_bits_nhd(seed, g: int, num_heads: int, s: int):
+    """(G, H, S, S) uint8 — the masks the nhd PRNG kernels use."""
+    return _dump_bits(seed, g, num_heads, s)
+
+
+def _attention_kernel_nhd_drop_prng(
+    seed_ref, q_ref, k_ref, v_ref, o_ref,
+    *, num_heads: int, valid_len: int, block: int, threshold: int,
+):
+    """`_attention_kernel_nhd_drop` with the bits generated in-kernel."""
+    _, s, dmodel = q_ref.shape
+    hd = dmodel // num_heads
+    scale = jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    mask = cols < valid_len
+    if block > 0:
+        mask = mask & (rows // block == cols // block)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    def logits_of(h):
+        sl = slice(h * hd, (h + 1) * hd)
+        logits = jax.lax.dot_general(
+            q[:, sl] * scale, k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.where(mask, logits, -1e30)
+
+    pending = logits_of(0)
+    for h in range(num_heads):
+        nxt = logits_of(h + 1) if h + 1 < num_heads else None
+        weights = jax.nn.softmax(pending, axis=-1)
+        bits = _prng_bits(seed_ref, pl.program_id(0), h, (s, s))
+        weights = _apply_bits(weights, bits, threshold).astype(v.dtype)
+        sl = slice(h * hd, (h + 1) * hd)
+        out = jax.lax.dot_general(
+            weights, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+        pending = nxt
+
+
+def _nhd_drop_prng_impl(q, k, v, seed, num_heads, block, threshold, valid_len):
+    g, s, dm = q.shape
+    spec = pl.BlockSpec((1, s, dm), lambda i, seed: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _attention_kernel_nhd_drop_prng,
+            num_heads=num_heads, valid_len=valid_len, block=block,
+            threshold=threshold,
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, s, dm), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g,),
+            in_specs=[spec] * 3,
+            out_specs=spec,
+        ),
+        interpret=_interpret(),
+    )(seed, q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_attention_nhd_dropout_prng(
+    q, k, v, seed, num_heads: int, block: int, threshold: int, valid_len: int
+):
+    """Natural-layout fused attention with in-kernel-PRNG dropout."""
+    return _nhd_drop_prng_impl(q, k, v, seed, num_heads, block, threshold, valid_len)
+
+
+def _nhd_drop_prng_fwd(q, k, v, seed, num_heads, block, threshold, valid_len):
+    out = _nhd_drop_prng_impl(
+        q, k, v, seed, num_heads, block, threshold, valid_len
+    )
+    return out, (q, k, v, seed)
+
+
+def _nhd_bwd_kernel_drop_prng(
+    seed_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+    *, num_heads: int, valid_len: int, block: int, threshold: int,
+):
+    _, s, dm = q_ref.shape
+    hd = dm // num_heads
+    scale = jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    mask = cols < valid_len
+    if block > 0:
+        mask = mask & (rows // block == cols // block)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        dq, dk, dv = _core_grads(
+            q[:, sl], k[:, sl], v[:, sl], g[:, sl], mask, scale,
+            bits=_prng_bits(seed_ref, pl.program_id(0), h, (s, s)),
+            threshold=threshold,
+        )
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def nhd_grads_prng(q, k, v, seed, g, num_heads: int, block: int,
+                   valid_len: int, threshold: int):
+    gdim, s, dm = q.shape
+    spec = pl.BlockSpec((1, s, dm), lambda i, seed: (i, 0, 0))
+    shapes = [jax.ShapeDtypeStruct((gdim, s, dm), q.dtype)] * 3
+    return pl.pallas_call(
+        functools.partial(
+            _nhd_bwd_kernel_drop_prng,
+            num_heads=num_heads, valid_len=valid_len, block=block,
+            threshold=threshold,
+        ),
+        out_shape=shapes,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gdim,),
+            in_specs=[spec] * 4,
+            out_specs=[spec] * 3,
+        ),
+        interpret=_interpret(),
+    )(seed, q, k, v, g)
+
+
+def _nhd_drop_prng_bwd(num_heads, block, threshold, valid_len, residuals, g):
+    q, k, v, seed = residuals
+    if _use_bwd_kernel():
+        dq, dk, dv = nhd_grads_prng(
+            q, k, v, seed, g, num_heads, block,
+            valid_len=valid_len, threshold=threshold,
+        )
+        return dq, dk, dv, _zero_seed_cotangent(seed)
+    bits = dump_bits_nhd(seed, q.shape[0], num_heads, q.shape[1])
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_reference_nhd_bits(
+            q, k, v, bits, num_heads, block, threshold, valid_len=valid_len
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, _zero_seed_cotangent(seed)
+
+
+fused_attention_nhd_dropout_prng.defvjp(_nhd_drop_prng_fwd, _nhd_drop_prng_bwd)

@@ -135,10 +135,11 @@ def worker(steps: int, f16: bool, progress_file: Path, eval_every: int) -> int:
     return 0
 
 
-def orchestrate(steps: int, kill_at_s: float, f16_steps: int) -> int:
+def orchestrate(
+    steps: int, kill_at_s: float, f16_steps: int, only_f16: bool = False
+) -> int:
     WORK.mkdir(parents=True, exist_ok=True)
     progress_file = WORK / "progress.jsonl"
-    progress_file.unlink(missing_ok=True)
 
     def spawn(extra):
         return subprocess.Popen(
@@ -146,22 +147,46 @@ def orchestrate(steps: int, kill_at_s: float, f16_steps: int) -> int:
             cwd=str(Path(__file__).resolve().parent.parent),
         )
 
-    # Phase A: run, then SIGKILL mid-flight.
-    t0 = time.time()
-    proc = spawn(["--steps", str(steps)])
     killed_at = None
-    while proc.poll() is None:
-        time.sleep(5)
-        if time.time() - t0 > kill_at_s:
-            proc.send_signal(signal.SIGKILL)
-            killed_at = time.time() - t0
-            proc.wait()
-            break
-    print(f"phase A done (killed_at={killed_at})", flush=True)
+    rcB = None
+    if only_f16:
+        # Re-run just phase C (keeps prior bf16 phase A/B records in the
+        # progress file); drop stale f16 records and checkpoints first.
+        if progress_file.exists():
+            kept = [
+                line
+                for line in progress_file.read_text().splitlines()
+                if line.strip() and json.loads(line)["phase"] != "f16"
+            ]
+            progress_file.write_text("\n".join(kept) + "\n")
+        import shutil
 
-    # Phase B: resume to completion.
-    rcB = spawn(["--steps", str(steps)]).wait()
-    print(f"phase B rc={rcB}", flush=True)
+        shutil.rmtree(WORK / "ckpt_f16", ignore_errors=True)
+        prior = (
+            json.loads(Path("SOAK_r03.json").read_text())
+            if Path("SOAK_r03.json").exists()
+            else {}
+        )
+        killed_at = prior.get("phaseA_killed_after_s")
+        rcB = prior.get("phaseB_rc")
+    else:
+        progress_file.unlink(missing_ok=True)
+
+        # Phase A: run, then SIGKILL mid-flight.
+        t0 = time.time()
+        proc = spawn(["--steps", str(steps)])
+        while proc.poll() is None:
+            time.sleep(5)
+            if time.time() - t0 > kill_at_s:
+                proc.send_signal(signal.SIGKILL)
+                killed_at = time.time() - t0
+                proc.wait()
+                break
+        print(f"phase A done (killed_at={killed_at})", flush=True)
+
+        # Phase B: resume to completion.
+        rcB = spawn(["--steps", str(steps)]).wait()
+        print(f"phase B rc={rcB}", flush=True)
 
     # Phase C: f16 loss-scaling leg.
     rcC = spawn(["--steps", str(f16_steps), "--f16"]).wait()
@@ -178,7 +203,7 @@ def orchestrate(steps: int, kill_at_s: float, f16_steps: int) -> int:
     losses = [(r["step"], r["loss"]) for r in bf16]
     out = {
         "steps_target": steps,
-        "phaseA_killed_after_s": round(killed_at or 0.0, 1),
+        "phaseA_killed_after_s": round(killed_at, 1) if killed_at else 0.0,
         "resume_steps": resume_steps,
         "bf16_steps_per_s": (
             round(sorted(r["steps_per_s"] for r in bf16)[len(bf16) // 2], 2)
@@ -212,10 +237,14 @@ def main() -> int:
     ap.add_argument("--kill-at-s", type=float, default=600.0)
     ap.add_argument("--f16-steps", type=int, default=500)
     ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument(
+        "--only-f16", action="store_true",
+        help="re-run just phase C, merging with prior phase A/B results",
+    )
     args = ap.parse_args()
     if args.worker:
         return worker(args.steps, args.f16, WORK / "progress.jsonl", args.eval_every)
-    return orchestrate(args.steps, args.kill_at_s, args.f16_steps)
+    return orchestrate(args.steps, args.kill_at_s, args.f16_steps, args.only_f16)
 
 
 if __name__ == "__main__":
