@@ -112,11 +112,28 @@ def load_audio_sample(
     return samples.astype(np.float16).astype(np.float32)
 
 
+_NATIVE_SUFFIXES = (".wav", ".wave", ".aif", ".aiff", ".aifc")
+_NO_CACHE = 3  # bitmask into the native loader: skip cache read AND write
+
+
 def load_full_audio(file: str | Path, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
     """modelutil.load_full_audio parity (python.rs:373-394): no cache read;
     values round through f16 as the reference's decode does."""
+    if _use_native() and Path(file).suffix.lower() in _NATIVE_SUFFIXES:
+        # Bit-identical to the numpy chain below (cross-tested), ~2x faster.
+        return native.load_audio_sample(str(file), sample_rate, _NO_CACHE)
     samples = normalize_loudness_np(decode_audio(str(file), sample_rate))
     return samples.astype(np.float16).astype(np.float32)
+
+
+def load_full_audio_f16(file: str | Path, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """`load_full_audio` left in the f16 decode dtype — the serving wire
+    format (transcribe_file ships raw f16 to the device).  Bit-identical to
+    ``load_full_audio(...).astype(np.float16)`` with two fewer full-array
+    conversion passes."""
+    if _use_native() and Path(file).suffix.lower() in _NATIVE_SUFFIXES:
+        return native.load_audio_sample_f16(str(file), sample_rate, _NO_CACHE)
+    return load_full_audio(file, sample_rate).astype(np.float16)
 
 
 # ---------------------------------------------------------------------------

@@ -207,7 +207,7 @@ def transcribe_file(
     """
     import time as _time
 
-    from .data.loader import load_full_audio
+    from .data.loader import load_full_audio_f16
     from .ops.eventize import extract_events
 
     def _stage(name, t0, sync=None):
@@ -219,9 +219,9 @@ def transcribe_file(
 
     window_duration = cfg.data.model_audio_length
     t = _time.perf_counter()
-    raw = load_full_audio(input_file, cfg.data.sample_rate)  # (2, N) f16-rounded
+    raw = load_full_audio_f16(input_file, cfg.data.sample_rate)  # (2, N) f16
     t = _stage("decode", t)
-    raw_dev = jnp.asarray(raw.astype(np.float16))
+    raw_dev = jnp.asarray(raw)
     t = _stage("transfer", t, sync=raw_dev)
     window_size = round(window_duration * cfg.data.sample_rate)
     overlap_samples = round(overlap * cfg.data.sample_rate)

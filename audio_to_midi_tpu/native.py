@@ -82,6 +82,18 @@ def _load():
     lib.a2m_load_audio_sample.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, c_f32pp, c_i64p,
     ]
+    lib.a2m_load_audio_sample_f16.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)), c_i64p,
+    ]
+    lib.a2m_f16_to_f32_buf.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.a2m_f32_to_f16_buf.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int64,
+    ]
     lib.a2m_parse_events_csv.argtypes = [
         ctypes.c_char_p, ctypes.c_double, c_i32pp, c_i64p,
     ]
@@ -128,7 +140,11 @@ def decode_audio(path: str | Path, sample_rate: int) -> np.ndarray:
     return _take_f32(lib, out, (2, n.value))
 
 
-def load_audio_sample(path: str | Path, sample_rate: int, skip_cache: bool = False) -> np.ndarray:
+def load_audio_sample(
+    path: str | Path, sample_rate: int, skip_cache: int | bool = False
+) -> np.ndarray:
+    """skip_cache bitmask: bit0 = skip cache read, bit1 = skip cache write
+    (bool True == legacy skip-read-still-write)."""
     lib = _load()
     out = ctypes.POINTER(ctypes.c_float)()
     n = ctypes.c_int64()
@@ -138,6 +154,48 @@ def load_audio_sample(path: str | Path, sample_rate: int, skip_cache: bool = Fal
     if rc != 0:
         raise RuntimeError(f"a2m_load_audio_sample({path}) failed: {rc}")
     return _take_f32(lib, out, (2, n.value))
+
+
+def load_audio_sample_f16(
+    path: str | Path, sample_rate: int, skip_cache: int | bool = False
+) -> np.ndarray:
+    """(2, N) float16 — decode+normalize left in the reference's f16 decode
+    dtype (the serving host->device wire format; cache hits are memcpy).
+    skip_cache bitmask as in load_audio_sample."""
+    lib = _load()
+    out = ctypes.POINTER(ctypes.c_uint16)()
+    n = ctypes.c_int64()
+    rc = lib.a2m_load_audio_sample_f16(
+        str(path).encode(), sample_rate, int(skip_cache), ctypes.byref(out), ctypes.byref(n)
+    )
+    if rc != 0:
+        raise RuntimeError(f"a2m_load_audio_sample_f16({path}) failed: {rc}")
+    total = 2 * n.value
+    arr = np.ctypeslib.as_array(out, shape=(total,)).view(np.float16).copy()
+    lib.a2m_free(out)
+    return arr.reshape(2, n.value)
+
+
+def f16_to_f32_buf(h: np.ndarray) -> np.ndarray:
+    lib = _load()
+    h = np.ascontiguousarray(h, np.float16)
+    out = np.empty(h.shape, np.float32)
+    lib.a2m_f16_to_f32_buf(
+        h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h.size,
+    )
+    return out
+
+
+def f32_to_f16_buf(f: np.ndarray) -> np.ndarray:
+    lib = _load()
+    f = np.ascontiguousarray(f, np.float32)
+    out = np.empty(f.shape, np.uint16)
+    lib.a2m_f32_to_f16_buf(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), f.size,
+    )
+    return out.view(np.float16)
 
 
 def normalize_loudness(samples: np.ndarray) -> np.ndarray:

@@ -54,6 +54,36 @@ static uint16_t f32_to_f16(float f) {
   return (uint16_t)(sign | half);
 }
 
+#if defined(__F16C__)
+#include <immintrin.h>
+#endif
+
+static float f16_to_f32(uint16_t h);
+
+/* Bulk converters: F16C (vcvtps2ph/vcvtph2ps, round-to-nearest-even — the
+ * same rounding as the scalar bit-twiddling converters; exhaustively
+ * cross-checked in tests/test_native.py) with a scalar fallback. */
+static void f32_to_f16_bulk(const float *src, uint16_t *dst, int64_t n) {
+  int64_t i = 0;
+#if defined(__F16C__)
+  for (; i + 8 <= n; i += 8)
+    _mm_storeu_si128(
+        (__m128i *)(dst + i),
+        _mm256_cvtps_ph(_mm256_loadu_ps(src + i), _MM_FROUND_TO_NEAREST_INT));
+#endif
+  for (; i < n; ++i) dst[i] = f32_to_f16(src[i]);
+}
+
+static void f16_to_f32_bulk(const uint16_t *src, float *dst, int64_t n) {
+  int64_t i = 0;
+#if defined(__F16C__)
+  for (; i + 8 <= n; i += 8)
+    _mm256_storeu_ps(dst + i,
+                     _mm256_cvtph_ps(_mm_loadu_si128((const __m128i *)(src + i))));
+#endif
+  for (; i < n; ++i) dst[i] = f16_to_f32(src[i]);
+}
+
 static float f16_to_f32(uint16_t h) {
   uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
   uint32_t exp = (h >> 10) & 0x1F;
@@ -177,6 +207,29 @@ static int decode_pcm(const uint8_t *p, size_t n, int bits, bool little,
   size_t frames = n / (bytes_per * (size_t)channels);
   d.left.assign(frames, 0.0f);
   d.right.assign(frames, 0.0f);
+  if (bits == 16 && little && !is_float && (channels == 1 || channels == 2)) {
+    /* The dominant cases (s16le WAV), written as tight branch-free loops the
+     * compiler auto-vectorizes; same arithmetic as the generic loop below
+     * (x/32768.0f is exact — power-of-two divisor). */
+    if (channels == 2) {
+      for (size_t i = 0; i < frames; ++i) {
+        int16_t l, r;
+        std::memcpy(&l, p + 4 * i, 2);
+        std::memcpy(&r, p + 4 * i + 2, 2);
+        d.left[i] = (float)l / 32768.0f;
+        d.right[i] = (float)r / 32768.0f;
+      }
+    } else {
+      for (size_t i = 0; i < frames; ++i) {
+        int16_t x;
+        std::memcpy(&x, p + 2 * i, 2);
+        float v = (float)x / 32768.0f;
+        d.left[i] = v;
+        d.right[i] = v;
+      }
+    }
+    return 0;
+  }
   for (size_t i = 0; i < frames; ++i) {
     for (int c = 0; c < channels; ++c) {
       const uint8_t *s = p + (i * (size_t)channels + (size_t)c) * bytes_per;
@@ -376,17 +429,30 @@ extern "C" int a2m_decode_audio(const char *path, int sample_rate, float **out,
 }
 
 extern "C" void a2m_normalize_loudness(float *samples, int64_t len) {
-  /* python.rs:236-264: silence guard at peak <= 0.05, joint unit variance */
+  /* python.rs:236-264: silence guard at peak <= 0.05, joint unit variance.
+   * The mean-square accumulates in f64 with the division hoisted out of the
+   * loop and 4-way partial sums (auto-vectorizable); vs the original
+   * per-element `acc += s*s/total` sequential chain this only perturbs the
+   * adjustment by ~1e-16 relative — invisible at f32, let alone after the
+   * f16 rounding every load path applies (cross-tested vs the numpy twin,
+   * whose pairwise summation differs by the same order). */
   int64_t total = 2 * len;
   float peak = 0.0f;
   for (int64_t i = 0; i < total; ++i) peak = std::max(peak, std::fabs(samples[i]));
   if (peak <= 0.05f) return;
-  double acc = 0.0;
-  for (int64_t i = 0; i < total; ++i)
-    acc += (double)samples[i] * samples[i] / (double)total;
+  double acc0 = 0.0, acc1 = 0.0, acc2 = 0.0, acc3 = 0.0;
+  int64_t i = 0;
+  for (; i + 4 <= total; i += 4) {
+    acc0 += (double)samples[i] * samples[i];
+    acc1 += (double)samples[i + 1] * samples[i + 1];
+    acc2 += (double)samples[i + 2] * samples[i + 2];
+    acc3 += (double)samples[i + 3] * samples[i + 3];
+  }
+  for (; i < total; ++i) acc0 += (double)samples[i] * samples[i];
+  double acc = (acc0 + acc1 + acc2 + acc3) / (double)total;
   double adjustment = std::sqrt(1.0 / acc);
-  for (int64_t i = 0; i < total; ++i)
-    samples[i] = (float)((double)samples[i] * adjustment);
+  for (int64_t j = 0; j < total; ++j)
+    samples[j] = (float)((double)samples[j] * adjustment);
 }
 
 /* -------------------------------------------------------------- cache */
@@ -399,21 +465,29 @@ static std::optional<fs::path> cache_file(const char *path, int sample_rate) {
   return fs::path(dir) / name.substr(0, 4) / (name + ".a2mc");
 }
 
-extern "C" int a2m_load_audio_sample(const char *path, int sample_rate,
-                                     int skip_cache, float **out,
-                                     int64_t *out_len) {
+extern "C" int a2m_load_audio_sample_f16(const char *path, int sample_rate,
+                                         int skip_cache, uint16_t **out,
+                                         int64_t *out_len) {
+  /* The f16 core of a2m_load_audio_sample: decode + normalize + cache, with
+   * the result left IN the reference's decode dtype (python.rs:236-264).
+   * Serving ships raw f16 over the host->device link, so this skips the
+   * f16->f32 expansion (and a cache hit is a plain memcpy).
+   * skip_cache is a bitmask: bit0 = skip the cache read (python.rs
+   * skip_cache semantics — decode fresh, still write), bit1 = skip the
+   * write too (load_full_audio never touches the cache, python.rs:373-394).
+   * Legacy 0/1 callers keep their old behaviour. */
   auto cpath = cache_file(path, sample_rate);
-  if (cpath && !skip_cache && fs::exists(*cpath)) {
+  if (skip_cache & 2) cpath.reset();
+  if (cpath && !(skip_cache & 1) && fs::exists(*cpath)) {
     std::vector<uint8_t> raw;
     if (read_file(cpath->c_str(), raw) && raw.size() >= 12 &&
         !std::memcmp(raw.data(), "A2MC", 4)) {
       int64_t n;
       std::memcpy(&n, raw.data() + 4, 8);
       if ((int64_t)raw.size() == 12 + 2 * n * 2 && n >= 0) {
-        float *buf = (float *)std::malloc(sizeof(float) * 2 * (size_t)n);
+        uint16_t *buf = (uint16_t *)std::malloc(sizeof(uint16_t) * 2 * (size_t)n);
         if (!buf) return -4;
-        const uint16_t *h = (const uint16_t *)(raw.data() + 12);
-        for (int64_t i = 0; i < 2 * n; ++i) buf[i] = f16_to_f32(h[i]);
+        std::memcpy(buf, raw.data() + 12, (size_t)(2 * n) * 2);
         *out = buf;
         *out_len = n;
         return 0;
@@ -423,34 +497,63 @@ extern "C" int a2m_load_audio_sample(const char *path, int sample_rate,
     fs::remove(*cpath, ec); /* corrupt: self-heal (python.rs:339-343) */
   }
 
-  int rc = a2m_decode_audio(path, sample_rate, out, out_len);
+  float *f = nullptr;
+  int64_t n = 0;
+  int rc = a2m_decode_audio(path, sample_rate, &f, &n);
   if (rc != 0) return rc;
-  a2m_normalize_loudness(*out, *out_len);
-
-  if (!cpath) {
-    /* Reference decode always rounds through f16 (python.rs:236-264). */
-    for (int64_t i = 0; i < 2 * (*out_len); ++i)
-      (*out)[i] = f16_to_f32(f32_to_f16((*out)[i]));
+  a2m_normalize_loudness(f, n);
+  uint16_t *h = (uint16_t *)std::malloc(sizeof(uint16_t) * 2 * (size_t)n);
+  if (!h) {
+    std::free(f);
+    return -4;
   }
+  f32_to_f16_bulk(f, h, 2 * n);
+  std::free(f);
 
   if (cpath) {
     std::error_code ec;
     fs::create_directories(cpath->parent_path(), ec);
-    int64_t n = *out_len;
-    std::vector<uint16_t> h((size_t)(2 * n));
-    for (int64_t i = 0; i < 2 * n; ++i) h[(size_t)i] = f32_to_f16((*out)[i]);
     fs::path tmp = *cpath;
     tmp += ".tmp";
     {
-      std::ofstream f(tmp, std::ios::binary);
-      f.write("A2MC", 4);
-      f.write((const char *)&n, 8);
-      f.write((const char *)h.data(), (std::streamsize)(h.size() * 2));
+      std::ofstream of(tmp, std::ios::binary);
+      of.write("A2MC", 4);
+      of.write((const char *)&n, 8);
+      of.write((const char *)h, (std::streamsize)(2 * n * 2));
     }
     fs::rename(tmp, *cpath, ec);
-    /* round through f16 exactly like a cache hit would */
-    for (int64_t i = 0; i < 2 * n; ++i) (*out)[i] = f16_to_f32(h[(size_t)i]);
   }
+  *out = h;
+  *out_len = n;
+  return 0;
+}
+
+extern "C" void a2m_f16_to_f32_buf(const uint16_t *src, float *dst,
+                                   int64_t n) {
+  f16_to_f32_bulk(src, dst, n);
+}
+
+extern "C" void a2m_f32_to_f16_buf(const float *src, uint16_t *dst,
+                                   int64_t n) {
+  f32_to_f16_bulk(src, dst, n);
+}
+
+extern "C" int a2m_load_audio_sample(const char *path, int sample_rate,
+                                     int skip_cache, float **out,
+                                     int64_t *out_len) {
+  uint16_t *h = nullptr;
+  int64_t n = 0;
+  int rc = a2m_load_audio_sample_f16(path, sample_rate, skip_cache, &h, &n);
+  if (rc != 0) return rc;
+  float *buf = (float *)std::malloc(sizeof(float) * 2 * (size_t)n);
+  if (!buf) {
+    std::free(h);
+    return -4;
+  }
+  f16_to_f32_bulk(h, buf, 2 * n);
+  std::free(h);
+  *out = buf;
+  *out_len = n;
   return 0;
 }
 

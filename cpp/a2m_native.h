@@ -41,6 +41,18 @@ void a2m_normalize_loudness(float *samples, int64_t len);
 int a2m_load_audio_sample(const char *path, int sample_rate, int skip_cache,
                           float **out, int64_t *out_len);
 
+/* Same, but the result stays in the reference's f16 decode dtype — the
+ * host->device wire format for serving (a cache hit is a plain memcpy).
+ * *out has layout [2][*out_len] of IEEE binary16. */
+int a2m_load_audio_sample_f16(const char *path, int sample_rate,
+                              int skip_cache, uint16_t **out,
+                              int64_t *out_len);
+
+/* Bulk IEEE binary16 <-> binary32 conversion (F16C where available, scalar
+ * fallback; round-to-nearest-even both ways). */
+void a2m_f16_to_f32_buf(const uint16_t *src, float *dst, int64_t n);
+void a2m_f32_to_f16_buf(const float *src, uint16_t *dst, int64_t n);
+
 /* ------------------------------------------------------------- labels */
 /* Parse `time,duration,key,velocity` CSV (no header, '%' comments, first
  * data row skipped) into quantized events; *events has 4*(*n) int32s:

@@ -2,6 +2,7 @@
 JAX ones (which are themselves golden-tested against reference semantics)."""
 
 import ctypes
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -64,6 +65,59 @@ def test_cached_load(wav, tmp_path, monkeypatch):
     files[0].write_bytes(b"junk")
     a3 = native.load_audio_sample(path, SAMPLE_RATE)
     np.testing.assert_array_equal(a1, a3)
+
+
+def test_f16_bulk_converters_exhaustive():
+    """The SIMD (F16C) bulk converters must match IEEE RNE bit-for-bit:
+    f16->f32 over ALL 65536 half values; f32->f16 over rounding-boundary,
+    subnormal, overflow and random values (numpy is the IEEE oracle)."""
+    allh = np.arange(65536, dtype=np.uint16).view(np.float16)
+    got = native.f16_to_f32_buf(allh)
+    want = allh.astype(np.float32)
+    # F16C quiets signaling-NaN payloads where numpy preserves them; NaNs
+    # never occur in audio, so bit-equality is required for every non-NaN
+    # half and NaN->NaN for the rest.
+    nan_in = np.isnan(allh)
+    assert np.array_equal(
+        got.view(np.uint32)[~nan_in], want.view(np.uint32)[~nan_in]
+    )
+    assert np.all(np.isnan(got[nan_in]))
+
+    rng = np.random.default_rng(0)
+    f = np.concatenate([
+        rng.standard_normal(100000).astype(np.float32),
+        rng.standard_normal(1000).astype(np.float32) * 1e-7,  # subnormal f16
+        rng.standard_normal(1000).astype(np.float32) * 1e5,   # overflow
+        np.float32([0.0, -0.0, np.inf, -np.inf, 65504.0, 65520.0, 65519.99,
+                    5.960464e-8, 2.980232e-8, 2.9802326e-8, 6.103515e-5]),
+        # exact ties around representable halves exercise round-to-even
+        np.float32([1.0009765625, 1.00048828125, 1.00146484375]),
+    ])
+    got16 = native.f32_to_f16_buf(f)
+    want16 = f.astype(np.float16)
+    assert np.array_equal(got16.view(np.uint16), want16.view(np.uint16))
+
+
+def test_load_full_audio_native_routing(wav, monkeypatch):
+    """load_full_audio / load_full_audio_f16 via the native plane must be
+    bit-identical to the numpy decode->normalize->f16 chain, and must not
+    touch the sample cache (python.rs:373-394: no cache read — or write)."""
+    from audio_to_midi_tpu.data import loader
+
+    path, _, _ = wav
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as cd:
+        monkeypatch.setenv("SAMPLE_CACHE_DIR", cd)
+        a = loader.load_full_audio(path, SAMPLE_RATE)
+        a16 = loader.load_full_audio_f16(path, SAMPLE_RATE)
+        assert not any(Path(cd).rglob("*.a2mc")), "load_full_audio wrote cache"
+    monkeypatch.delenv("SAMPLE_CACHE_DIR")
+    ref = audio_io.normalize_loudness_np(
+        audio_io.decode_audio(str(path), SAMPLE_RATE)
+    ).astype(np.float16)
+    assert np.array_equal(a16.view(np.uint16), ref.view(np.uint16))
+    assert np.array_equal(a, ref.astype(np.float32))
 
 
 def test_csv_parse_matches(tmp_path):
