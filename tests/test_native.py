@@ -120,6 +120,20 @@ def test_load_full_audio_native_routing(wav, monkeypatch):
     assert np.array_equal(a, ref.astype(np.float32))
 
 
+def test_load_full_audio_f16_numpy_fallback(wav, monkeypatch):
+    """With the native plane disabled, load_full_audio_f16 must fall back to
+    the numpy chain and still produce identical f16 bits."""
+    import importlib
+
+    path, _, _ = wav
+    from audio_to_midi_tpu.data import loader
+
+    want = loader.load_full_audio_f16(path, SAMPLE_RATE)  # native
+    monkeypatch.setattr(loader, "_use_native", lambda: False)
+    got = loader.load_full_audio_f16(path, SAMPLE_RATE)  # numpy fallback
+    assert np.array_equal(got.view(np.uint16), want.view(np.uint16))
+
+
 def test_csv_parse_matches(tmp_path):
     p = tmp_path / "l.csv"
     p.write_text(

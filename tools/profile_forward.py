@@ -71,6 +71,9 @@ def main():
         parse_xplane(args.parse_only, args.top)
         return 0
 
+    from audio_to_midi_tpu.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
     import jax
     import jax.numpy as jnp
 
