@@ -88,6 +88,7 @@ class _Feeder:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._thread = threading.Thread(target=self._run, args=(source,), daemon=True)
         self._done = False
+        self._error: Optional[BaseException] = None
         self._thread.start()
 
     def _run(self, source):
@@ -105,13 +106,18 @@ class _Feeder:
                 # on device, and the main thread never waits on a transfer.
                 jax.block_until_ready((audio_dev, events_dev))
                 self._q.put((audio_dev, events_dev))
+        except BaseException as e:  # propagate to the training thread
+            self._error = e
         finally:
             self._q.put(self._DONE)
 
     def get(self, block: bool) -> Optional[tuple[np.ndarray, np.ndarray]]:
         """Next (audio_f16, labels_f16) chunk, or None.  None means either
-        "nothing ready" (non-blocking) or "source exhausted"."""
+        "nothing ready" (non-blocking) or "source exhausted".  A data-source
+        or transfer exception raised in the feeder thread re-raises HERE —
+        a crashed loader must abort training, not freeze the ring pool."""
         if self._done:
+            self._raise_if_failed()
             return None
         try:
             item = self._q.get(block=block, timeout=None if not block else 600)
@@ -119,8 +125,15 @@ class _Feeder:
             return None
         if item is self._DONE:
             self._done = True
+            self._raise_if_failed()
             return None
         return item
+
+    def _raise_if_failed(self) -> None:
+        if self._error is not None:
+            raise RuntimeError(
+                "training input feed thread failed"
+            ) from self._error
 
     @property
     def exhausted(self) -> bool:
@@ -199,6 +212,13 @@ class DeviceInputRing:
                 return
             taken += 1
             audio_np, labels_np = item
+            if audio_np.shape[0] < self.chunk and self.pushed_windows == 0:
+                raise ValueError(
+                    f"feed chunks carry {audio_np.shape[0]} windows but the ring "
+                    f"updates in chunks of {self.chunk}: the data loader's batch "
+                    "size must be >= the training batch size (smaller chunks "
+                    "would be dropped and the ring would never fill)"
+                )
             # Split oversized feed chunks; a trailing partial chunk (finite
             # sources only — the training loader yields exact batches) is
             # dropped to keep one compiled update shape.

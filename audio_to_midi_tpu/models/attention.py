@@ -122,9 +122,11 @@ def _attend(
         and q.shape[-3] >= 128
         and dropout_threshold(dropout_rate) > 0
     )
+    # A nonzero rate below 1/512 quantizes to threshold 0; the kernels would
+    # silently run dropout-FREE where the XLA path applies the true rate, so
+    # such rates stay on XLA (reference semantics over speed).
     if impl in ("pallas", "pallas_rw") and mosaic_dtype_ok(q.dtype) and (
-            not enable_dropout or drop_kernel_ok
-            or dropout_threshold(dropout_rate) == 0):
+            not enable_dropout or drop_kernel_ok):
         # Natural-layout kernel: (.., S, H, hd) -> (G, S, H*hd) is a free
         # reshape (no transposes, so no XLA relayout copies around the call).
         *lead, s, h, hd = q.shape
@@ -281,7 +283,13 @@ def local_self_attention(
     if (
         cfg.attention_impl in ("pallas", "pallas_rw")
         and mosaic_dtype_ok(x.dtype)
-        and (not enable_dropout or key is not None)
+        and (
+            not enable_dropout
+            # Sub-1/512 rates quantize to threshold 0 — keep them on the XLA
+            # path below, which applies the exact rate via nn.dropout.
+            or (key is not None
+                and dropout_threshold(cfg.transformer_dropout_rate) > 0)
+        )
         and padded % window == 0
         and padded % 16 == 0
     ):

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
+from ..ops.pallas_attention import mosaic_dtype_ok
 from ..ops.pallas_convnext import fused_convnext_stage_diff, stage_supported
 from . import convnext_packed, nn
 from .nn import Params
@@ -205,7 +206,7 @@ def cnn_forward(
         depth_i = cfg.depths[i]
 
         if (not enable_sdd and cfg.cnn_impl == "pallas_stage"
-                and h.dtype != jnp.float16 and stage_supported(
+                and mosaic_dtype_ok(h.dtype) and stage_supported(
             h.shape[1], cfg.dims[i], depth_i
         )):
             # Whole-stage megakernel (ops/pallas_convnext.py).  Measured

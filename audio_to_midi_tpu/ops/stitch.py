@@ -95,6 +95,13 @@ def stitch_probs_parallel(
     probs = all_probs.astype(jnp.float32)
     if num_windows == 1:
         return probs[0][:output_frames]
+    if ov > 0 and int(np.min(bases_np[1:] - bases_np[:-1])) <= math.ceil(ov):
+        # Pairwise-blend precondition violated: when windows advance by no
+        # more than the blend width (overlap >= ~half a window), window w's
+        # blend reads rows of w-1 that were THEMSELVES blended — only the
+        # sequential scan reproduces that chaining.  Geometry is static, so
+        # this is a trace-time fallback, not a runtime branch.
+        return stitch_probs(all_probs, overlap, duration_per_frame)
 
     r = jnp.arange(fpw)
     if ov > 0:

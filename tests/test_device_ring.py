@@ -86,6 +86,35 @@ def test_feeder_exhausted_before_any_data_raises():
         ring.pull(feeder, min_fill=4)
 
 
+def test_feeder_source_exception_propagates():
+    """A loader crash in the feeder thread must abort training (RuntimeError
+    from the crashed source), not read as normal exhaustion that leaves the
+    loop silently resampling a frozen ring pool."""
+
+    def bad_source():
+        yield (_chunk(0)[1], _chunk(0)[0])
+        raise OSError("corrupt audio file")
+
+    feeder = _Feeder(bad_source(), depth=2)
+    ring = DeviceInputRing(capacity=8, chunk_windows=4)
+    with pytest.raises(RuntimeError, match="input feed thread failed") as ei:
+        # First pull may land the good chunk; keep pulling until the error
+        # sentinel surfaces.
+        for _ in range(4):
+            ring.pull(feeder, min_fill=8)
+    assert isinstance(ei.value.__cause__, OSError)
+
+
+def test_undersized_feed_chunk_raises():
+    """Chunks smaller than the ring update size would be silently dropped
+    (the ring could never fill) — must fail loudly with the sizes."""
+    chunks = [(_chunk(0, w=2)[1], _chunk(0, w=2)[0])]
+    feeder = _Feeder(iter(chunks), depth=2)
+    ring = DeviceInputRing(capacity=8, chunk_windows=4)
+    with pytest.raises(ValueError, match="2 windows"):
+        ring.pull(feeder, min_fill=4)
+
+
 @pytest.mark.slow
 def test_train_loop_with_ring(tmp_path):
     """loop.train with the default ring feed: loss finite, params move, and

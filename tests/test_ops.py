@@ -83,6 +83,9 @@ def test_stitch_zero_overlap_is_concat():
         (1, 50, 0.5, 0.02),      # single window
         (3, 20, 0.0, 0.02),      # no overlap
         (128, 250, 0.5, 0.02),   # bench/serving scale
+        (4, 250, 3.0, 0.02),     # ov 150 > half window: pairwise assumption
+                                 # breaks, parallel must fall back to the scan
+        (6, 100, 1.52, 0.03),    # ov 50.67, d 50 == ceil(ov)-1 boundary
     ],
 )
 def test_stitch_parallel_matches_scan(w, fpw, overlap, dpf):

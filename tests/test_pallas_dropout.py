@@ -174,3 +174,26 @@ def test_global_attention_dropout_kernel_path():
     out_nodrop = attention.self_attention(x, p, rope, CFG_PALLAS)
     assert np.isfinite(np.asarray(out_drop)).all()
     assert not np.allclose(np.asarray(out_drop), np.asarray(out_nodrop))
+
+
+def test_sub_quantum_dropout_rate_routes_to_xla():
+    """A nonzero rate below 1/512 quantizes to threshold 0; the kernels
+    would silently run dropout-FREE, so such configs must take the XLA path
+    (nn.dropout at the exact rate).  Same key => bitwise-equal outputs
+    between attention_impl='pallas' and 'xla'."""
+    tiny = dataclasses.replace(CFG_PALLAS, transformer_dropout_rate=1 / 600)
+    tiny_xla = dataclasses.replace(tiny, attention_impl="xla")
+    assert dropout_threshold(tiny.transformer_dropout_rate) == 0
+    p = attention.init_self_attention(jax.random.PRNGKey(9), tiny)
+    rope = model_lib.make_rope(tiny)
+    key = jax.random.PRNGKey(10)
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 46, 8))
+    a = attention.local_self_attention(x, p, rope, tiny, key=key, enable_dropout=True)
+    b = attention.local_self_attention(
+        x, p, rope, tiny_xla, key=key, enable_dropout=True
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    xg = jax.random.normal(jax.random.PRNGKey(12), (2, 250, 8))
+    a = attention.self_attention(xg, p, rope, tiny, key=key, enable_dropout=True)
+    b = attention.self_attention(xg, p, rope, tiny_xla, key=key, enable_dropout=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
