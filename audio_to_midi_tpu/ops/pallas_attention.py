@@ -71,13 +71,20 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _attention_kernel_nhd(
-    q_ref, k_ref, v_ref, o_ref, *, num_heads: int, valid_len: int, block: int
+def _nhd_core(
+    q_ref, k_ref, v_ref, o_ref, *, num_heads: int, valid_len: int, block: int,
+    get_bits=None, threshold: int = 0,
 ):
-    """Natural-layout kernel: refs are (1, S, H*hd) — the exact layout the
-    projection matmuls produce, so XLA inserts NO relayout copies around the
-    kernel (the per-head slicing happens in VMEM instead).  Heads are a
-    static python loop; logits scratch is reused by XLA across iterations."""
+    """Natural-layout attention core: refs are (1, S, H*hd) — the exact
+    layout the projection matmuls produce, so XLA inserts NO relayout copies
+    around the kernel (the per-head slicing happens in VMEM instead).  Heads
+    are a static python loop; logits scratch is reused by XLA across
+    iterations.
+
+    ``get_bits(h) -> (S, S) int32 low-byte bits`` optionally applies
+    attention-weight dropout to head h's fp32 softmax weights — the ONE body
+    is shared by the dropout-free, precomputed-bits, and hardware-PRNG kernel
+    wrappers (get_bits=None traces exactly the dropout-free program)."""
     _, s, dmodel = q_ref.shape
     hd = dmodel // num_heads
     scale = jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
@@ -108,7 +115,10 @@ def _attention_kernel_nhd(
     pending = logits_of(0)
     for h in range(num_heads):
         nxt = logits_of(h + 1) if h + 1 < num_heads else None
-        weights = jax.nn.softmax(pending, axis=-1).astype(v.dtype)
+        weights = jax.nn.softmax(pending, axis=-1)
+        if get_bits is not None:
+            weights = _apply_bits(weights, get_bits(h), threshold)
+        weights = weights.astype(v.dtype)
         sl = slice(h * hd, (h + 1) * hd)
         out = jax.lax.dot_general(
             weights, v[:, sl], (((1,), (0,)), ((), ())),
@@ -116,6 +126,15 @@ def _attention_kernel_nhd(
         )
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
         pending = nxt
+
+
+def _attention_kernel_nhd(
+    q_ref, k_ref, v_ref, o_ref, *, num_heads: int, valid_len: int, block: int
+):
+    _nhd_core(
+        q_ref, k_ref, v_ref, o_ref,
+        num_heads=num_heads, valid_len=valid_len, block=block,
+    )
 
 
 def fused_attention_nhd(
@@ -318,46 +337,13 @@ def _attention_kernel_nhd_drop(
     q_ref, k_ref, v_ref, bits_ref, o_ref,
     *, num_heads: int, valid_len: int, block: int, threshold: int,
 ):
-    """Natural-layout kernel with in-kernel attention-weight dropout.
-
-    Refs: q/k/v (1, S, H*hd); bits (1, H, S, S) uint8.  Identical to
-    ``_attention_kernel_nhd`` (incl. the distance-1 logits pipeline) plus the
-    thresholded-bits mask applied to the fp32 softmax weights.
-    """
-    _, s, dmodel = q_ref.shape
-    hd = dmodel // num_heads
-    scale = jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    mask = cols < valid_len
-    if block > 0:
-        mask = mask & (rows // block == cols // block)
-
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-
-    def logits_of(h):
-        sl = slice(h * hd, (h + 1) * hd)
-        logits = jax.lax.dot_general(
-            q[:, sl] * scale, k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.where(mask, logits, -1e30)
-
-    pending = logits_of(0)
-    for h in range(num_heads):
-        nxt = logits_of(h + 1) if h + 1 < num_heads else None
-        weights = jax.nn.softmax(pending, axis=-1)
-        weights = _apply_bits(weights, bits_ref[0, h], threshold).astype(v.dtype)
-        sl = slice(h * hd, (h + 1) * hd)
-        out = jax.lax.dot_general(
-            weights, v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, sl] = out.astype(o_ref.dtype)
-        pending = nxt
+    """`_nhd_core` with precomputed dropout bits (1, H, S, S) uint8
+    (reference dropout position model.py:253-257)."""
+    _nhd_core(
+        q_ref, k_ref, v_ref, o_ref,
+        num_heads=num_heads, valid_len=valid_len, block=block,
+        get_bits=lambda h: bits_ref[0, h], threshold=threshold,
+    )
 
 
 def _xla_reference_nhd_bits(q, k, v, bits, num_heads, block, threshold, valid_len):
@@ -484,16 +470,24 @@ def attend_nhd_dropout(
 # ---------------------------------------------------------------------------
 
 
-def _two_phase_kernel(
-    qa_ref, ka_ref, qb_ref, kb_ref, v_ref, o_ref, *, num_heads: int, window: int
+def _two_phase_core(
+    qa_ref, ka_ref, qb_ref, kb_ref, v_ref, o_ref,
+    *, num_heads: int, window: int, get_bits=None, threshold: int = 0,
 ):
-    """Refs: (n, P, H*hd).  Output: the overlap-averaged local attention in
-    padded coordinates.
+    """Two-phase local attention core: refs (n, P, H*hd).  Output: the
+    overlap-averaged local attention in padded coordinates.
 
     The (sample, phase, head) attention cores are software-pipelined at
     distance 1 — the NEXT core's logits matmul issues before the current
     core's softmax/out — so the MXU keeps streaming while the VPU runs the
-    fp32 softmax (measured ~10% on v5e vs strictly sequential cores)."""
+    fp32 softmax (measured ~10% on v5e vs strictly sequential cores).
+
+    ``get_bits(s, ph, h) -> (P, P) int32 low-byte bits`` optionally applies
+    attention-weight dropout (each original window lies in exactly one
+    phase, so per-window weights drop independently like the reference's
+    per-window dropout, model.py:253-257) — the ONE body is shared by the
+    dropout-free, precomputed-bits, and hardware-PRNG kernel wrappers
+    (get_bits=None traces exactly the dropout-free program)."""
     n, p_len, dm = qa_ref.shape
     hd = dm // num_heads
     stride = window // 2
@@ -525,7 +519,10 @@ def _two_phase_kernel(
     pending = logits_of(0)
     for i, (s, ph, h) in enumerate(work):
         nxt = logits_of(i + 1) if i + 1 < len(work) else None
-        weights = jax.nn.softmax(pending, axis=-1).astype(v_ref.dtype)
+        weights = jax.nn.softmax(pending, axis=-1)
+        if get_bits is not None:
+            weights = _apply_bits(weights, get_bits(s, ph, h), threshold)
+        weights = weights.astype(v_ref.dtype)
         sl = slice(h * hd, (h + 1) * hd)
         outs[(s, ph, h)] = jax.lax.dot_general(
             weights, v_ref[s][:, sl], (((1,), (0,)), ((), ())),
@@ -538,6 +535,15 @@ def _two_phase_kernel(
         out_b = jnp.concatenate([outs[(s, 1, h)] for h in range(num_heads)], axis=-1)
         out_b = jnp.where(b_rows, out_b, jnp.zeros_like(out_b))
         o_ref[s] = ((out_a + out_b) * inv_count).astype(o_ref.dtype)
+
+
+def _two_phase_kernel(
+    qa_ref, ka_ref, qb_ref, kb_ref, v_ref, o_ref, *, num_heads: int, window: int
+):
+    _two_phase_core(
+        qa_ref, ka_ref, qb_ref, kb_ref, v_ref, o_ref,
+        num_heads=num_heads, window=window,
+    )
 
 
 def _two_phase_cell(batch: int, p_len: int, dm: int) -> int:
@@ -626,56 +632,14 @@ def _two_phase_kernel_drop(
     qa_ref, ka_ref, qb_ref, kb_ref, v_ref, bits_a_ref, bits_b_ref, o_ref,
     *, num_heads: int, window: int, threshold: int,
 ):
-    """Two-phase local attention with in-kernel attention-weight dropout.
-    bits refs: (n, H, P, P) uint8 per phase.  Identical math to
-    ``_two_phase_kernel`` plus the thresholded-bits mask on the fp32 softmax
-    weights (reference model.py:253-257 dropout position)."""
-    n, p_len, dm = qa_ref.shape
-    hd = dm // num_heads
-    stride = window // 2
-    scale = jnp.asarray(1.0 / math.sqrt(hd), qa_ref.dtype)
-
-    pr = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 0)
-    pc = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 1)
-    mask_a = pr // window == pc // window
-    in_band = (pc >= stride) & (pc < p_len - stride)
-    mask_b = ((pr - stride) // window == (pc - stride) // window) & in_band
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
-    b_rows = (col >= stride) & (col < p_len - stride)
-    inv_count = jnp.where(b_rows, 0.5, 1.0).astype(jnp.float32)
-
-    work = [(s, ph, h) for s in range(n) for ph in range(2) for h in range(num_heads)]
-
-    def logits_of(i):
-        s, ph, h = work[i]
-        q_ref, k_ref = ((qa_ref, ka_ref), (qb_ref, kb_ref))[ph]
-        sl = slice(h * hd, (h + 1) * hd)
-        logits = jax.lax.dot_general(
-            q_ref[s][:, sl] * scale, k_ref[s][:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.where(mask_a if ph == 0 else mask_b, logits, -1e30)
-
-    outs = {}
-    pending = logits_of(0)
-    for i, (s, ph, h) in enumerate(work):
-        nxt = logits_of(i + 1) if i + 1 < len(work) else None
-        weights = jax.nn.softmax(pending, axis=-1)
-        bits = (bits_a_ref if ph == 0 else bits_b_ref)[s, h]
-        weights = _apply_bits(weights, bits, threshold).astype(v_ref.dtype)
-        sl = slice(h * hd, (h + 1) * hd)
-        outs[(s, ph, h)] = jax.lax.dot_general(
-            weights, v_ref[s][:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        pending = nxt
-
-    for s in range(n):
-        out_a = jnp.concatenate([outs[(s, 0, h)] for h in range(num_heads)], axis=-1)
-        out_b = jnp.concatenate([outs[(s, 1, h)] for h in range(num_heads)], axis=-1)
-        out_b = jnp.where(b_rows, out_b, jnp.zeros_like(out_b))
-        o_ref[s] = ((out_a + out_b) * inv_count).astype(o_ref.dtype)
+    """`_two_phase_core` with precomputed per-phase dropout bits
+    (n, H, P, P) uint8."""
+    _two_phase_core(
+        qa_ref, ka_ref, qb_ref, kb_ref, v_ref, o_ref,
+        num_heads=num_heads, window=window,
+        get_bits=lambda s, ph, h: (bits_a_ref if ph == 0 else bits_b_ref)[s, h],
+        threshold=threshold,
+    )
 
 
 def _two_phase_cell_drop(batch: int, p_len: int, dm: int, num_heads: int) -> int:
@@ -951,13 +915,15 @@ def _core_grads(q, k, v, do, mask, scale, bits=None, threshold: int = 0):
     return dq, dk, dv
 
 
-def _two_phase_bwd_kernel(
+def _two_phase_bwd_core(
     qa_ref, ka_ref, qb_ref, kb_ref, v_ref, g_ref,
     dqa_ref, dka_ref, dqb_ref, dkb_ref, dv_ref,
-    *, num_heads: int, window: int,
+    *, num_heads: int, window: int, get_bits=None, threshold: int = 0,
 ):
     """Backward of the two-phase local attention: refs (n, P, H*hd); g is the
-    cotangent of the overlap-averaged output."""
+    cotangent of the overlap-averaged output.  ``get_bits(s, ph, h)``
+    optionally supplies the SAME dropout bits the forward applied (shared by
+    the dropout-free, precomputed-bits, and hardware-PRNG wrappers)."""
     n, p_len, dm = qa_ref.shape
     hd = dm // num_heads
     stride = window // 2
@@ -981,16 +947,32 @@ def _two_phase_bwd_kernel(
             dqa, dka, dva = _core_grads(
                 qa_ref[s][:, sl], ka_ref[s][:, sl], v_ref[s][:, sl],
                 g[:, sl], mask_a, scale,
+                bits=None if get_bits is None else get_bits(s, 0, h),
+                threshold=threshold,
             )
             dqb, dkb, dvb = _core_grads(
                 qb_ref[s][:, sl], kb_ref[s][:, sl], v_ref[s][:, sl],
                 g_b[:, sl], mask_b, scale,
+                bits=None if get_bits is None else get_bits(s, 1, h),
+                threshold=threshold,
             )
             dqa_ref[s, :, sl] = dqa.astype(dqa_ref.dtype)
             dka_ref[s, :, sl] = dka.astype(dka_ref.dtype)
             dqb_ref[s, :, sl] = dqb.astype(dqb_ref.dtype)
             dkb_ref[s, :, sl] = dkb.astype(dkb_ref.dtype)
             dv_ref[s, :, sl] = (dva + dvb).astype(dv_ref.dtype)
+
+
+def _two_phase_bwd_kernel(
+    qa_ref, ka_ref, qb_ref, kb_ref, v_ref, g_ref,
+    dqa_ref, dka_ref, dqb_ref, dkb_ref, dv_ref,
+    *, num_heads: int, window: int,
+):
+    _two_phase_bwd_core(
+        qa_ref, ka_ref, qb_ref, kb_ref, v_ref, g_ref,
+        dqa_ref, dka_ref, dqb_ref, dkb_ref, dv_ref,
+        num_heads=num_heads, window=window,
+    )
 
 
 def _two_phase_bwd_cell(batch: int, p_len: int, dm: int) -> int:
@@ -1025,41 +1007,14 @@ def _two_phase_bwd_kernel_drop(
     dqa_ref, dka_ref, dqb_ref, dkb_ref, dv_ref,
     *, num_heads: int, window: int, threshold: int,
 ):
-    n, p_len, dm = qa_ref.shape
-    hd = dm // num_heads
-    stride = window // 2
-    scale = jnp.asarray(1.0 / math.sqrt(hd), qa_ref.dtype)
-
-    pr = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 0)
-    pc = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 1)
-    mask_a = pr // window == pc // window
-    in_band = (pc >= stride) & (pc < p_len - stride)
-    mask_b = ((pr - stride) // window == (pc - stride) // window) & in_band
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
-    b_rows = (col >= stride) & (col < p_len - stride)
-    inv_count = jnp.where(b_rows, 0.5, 1.0).astype(jnp.float32)
-
-    for s in range(n):
-        g = g_ref[s].astype(jnp.float32) * inv_count
-        g_b = jnp.where(b_rows, g, 0.0)
-        for h in range(num_heads):
-            sl = slice(h * hd, (h + 1) * hd)
-            dqa, dka, dva = _core_grads(
-                qa_ref[s][:, sl], ka_ref[s][:, sl], v_ref[s][:, sl],
-                g[:, sl], mask_a, scale,
-                bits=bits_a_ref[s, h], threshold=threshold,
-            )
-            dqb, dkb, dvb = _core_grads(
-                qb_ref[s][:, sl], kb_ref[s][:, sl], v_ref[s][:, sl],
-                g_b[:, sl], mask_b, scale,
-                bits=bits_b_ref[s, h], threshold=threshold,
-            )
-            dqa_ref[s, :, sl] = dqa.astype(dqa_ref.dtype)
-            dka_ref[s, :, sl] = dka.astype(dka_ref.dtype)
-            dqb_ref[s, :, sl] = dqb.astype(dqb_ref.dtype)
-            dkb_ref[s, :, sl] = dkb.astype(dkb_ref.dtype)
-            dv_ref[s, :, sl] = (dva + dvb).astype(dv_ref.dtype)
+    """`_two_phase_bwd_core` with precomputed per-phase bits (n, H, P, P)."""
+    _two_phase_bwd_core(
+        qa_ref, ka_ref, qb_ref, kb_ref, v_ref, g_ref,
+        dqa_ref, dka_ref, dqb_ref, dkb_ref, dv_ref,
+        num_heads=num_heads, window=window,
+        get_bits=lambda s, ph, h: (bits_a_ref if ph == 0 else bits_b_ref)[s, h],
+        threshold=threshold,
+    )
 
 
 def two_phase_grads_drop(
@@ -1085,37 +1040,14 @@ def two_phase_grads_drop(
     )(qa, ka, qb, kb, v, bits_a, bits_b, g)
 
 
-def _nhd_bwd_kernel(
+def _nhd_bwd_core(
     q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     *, num_heads: int, valid_len: int, block: int,
+    get_bits=None, threshold: int = 0,
 ):
-    """Backward of the natural-layout kernel; refs (1, S, H*hd)."""
-    _, s, dm = q_ref.shape
-    hd = dm // num_heads
-    scale = jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    mask = cols < valid_len
-    if block > 0:
-        mask = mask & (rows // block == cols // block)
-
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    g = g_ref[0].astype(jnp.float32)
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        dq, dk, dv = _core_grads(q[:, sl], k[:, sl], v[:, sl], g[:, sl], mask, scale)
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
-
-
-def _nhd_bwd_kernel_drop(
-    q_ref, k_ref, v_ref, bits_ref, g_ref, dq_ref, dk_ref, dv_ref,
-    *, num_heads: int, valid_len: int, block: int, threshold: int,
-):
+    """Backward of the natural-layout kernel; refs (1, S, H*hd).
+    ``get_bits(h)`` optionally supplies the forward's dropout bits (shared
+    by the dropout-free, precomputed-bits, and hardware-PRNG wrappers)."""
     _, s, dm = q_ref.shape
     hd = dm // num_heads
     scale = jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
@@ -1134,11 +1066,34 @@ def _nhd_bwd_kernel_drop(
         sl = slice(h * hd, (h + 1) * hd)
         dq, dk, dv = _core_grads(
             q[:, sl], k[:, sl], v[:, sl], g[:, sl], mask, scale,
-            bits=bits_ref[0, h], threshold=threshold,
+            bits=None if get_bits is None else get_bits(h),
+            threshold=threshold,
         )
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
         dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _nhd_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+    *, num_heads: int, valid_len: int, block: int,
+):
+    _nhd_bwd_core(
+        q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+        num_heads=num_heads, valid_len=valid_len, block=block,
+    )
+
+
+def _nhd_bwd_kernel_drop(
+    q_ref, k_ref, v_ref, bits_ref, g_ref, dq_ref, dk_ref, dv_ref,
+    *, num_heads: int, valid_len: int, block: int, threshold: int,
+):
+    """`_nhd_bwd_core` with precomputed bits (1, H, S, S) uint8."""
+    _nhd_bwd_core(
+        q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+        num_heads=num_heads, valid_len=valid_len, block=block,
+        get_bits=lambda h: bits_ref[0, h], threshold=threshold,
+    )
 
 
 def nhd_grads(q, k, v, g, num_heads: int, block: int, valid_len: int,
@@ -1643,56 +1598,20 @@ def _two_phase_kernel_drop_prng(
     seed_ref, qa_ref, ka_ref, qb_ref, kb_ref, v_ref, o_ref,
     *, num_heads: int, window: int, threshold: int,
 ):
-    """`_two_phase_kernel_drop` with the bits generated in-kernel."""
-    n, p_len, dm = qa_ref.shape
-    hd = dm // num_heads
-    stride = window // 2
-    scale = jnp.asarray(1.0 / math.sqrt(hd), qa_ref.dtype)
-
-    pr = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 0)
-    pc = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 1)
-    mask_a = pr // window == pc // window
-    in_band = (pc >= stride) & (pc < p_len - stride)
-    mask_b = ((pr - stride) // window == (pc - stride) // window) & in_band
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
-    b_rows = (col >= stride) & (col < p_len - stride)
-    inv_count = jnp.where(b_rows, 0.5, 1.0).astype(jnp.float32)
-
+    """`_two_phase_core` with the dropout bits generated in-kernel by the
+    TPU hardware PRNG.  Stream id is (ABSOLUTE sample, ph*H + h) — the same
+    mapping as the backward kernel and `dump_bits_two_phase`, so identical
+    masks reproduce regardless of grid cell sizes."""
+    n, p_len, _ = qa_ref.shape
     base = pl.program_id(0) * n
-    work = [(s, ph, h) for s in range(n) for ph in range(2) for h in range(num_heads)]
-
-    def logits_of(i):
-        s, ph, h = work[i]
-        q_ref, k_ref = ((qa_ref, ka_ref), (qb_ref, kb_ref))[ph]
-        sl = slice(h * hd, (h + 1) * hd)
-        logits = jax.lax.dot_general(
-            q_ref[s][:, sl] * scale, k_ref[s][:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.where(mask_a if ph == 0 else mask_b, logits, -1e30)
-
-    outs = {}
-    pending = logits_of(0)
-    for i, (s, ph, h) in enumerate(work):
-        nxt = logits_of(i + 1) if i + 1 < len(work) else None
-        weights = jax.nn.softmax(pending, axis=-1)
-        bits = _prng_bits(
+    _two_phase_core(
+        qa_ref, ka_ref, qb_ref, kb_ref, v_ref, o_ref,
+        num_heads=num_heads, window=window,
+        get_bits=lambda s, ph, h: _prng_bits(
             seed_ref, base + s, ph * num_heads + h, (p_len, p_len)
-        )
-        weights = _apply_bits(weights, bits, threshold).astype(v_ref.dtype)
-        sl = slice(h * hd, (h + 1) * hd)
-        outs[(s, ph, h)] = jax.lax.dot_general(
-            weights, v_ref[s][:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        pending = nxt
-
-    for s in range(n):
-        out_a = jnp.concatenate([outs[(s, 0, h)] for h in range(num_heads)], axis=-1)
-        out_b = jnp.concatenate([outs[(s, 1, h)] for h in range(num_heads)], axis=-1)
-        out_b = jnp.where(b_rows, out_b, jnp.zeros_like(out_b))
-        o_ref[s] = ((out_a + out_b) * inv_count).astype(o_ref.dtype)
+        ),
+        threshold=threshold,
+    )
 
 
 def _two_phase_drop_prng_impl(qa, ka, qb, kb, v, seed, num_heads, window, threshold):
@@ -1739,46 +1658,20 @@ def _two_phase_bwd_kernel_drop_prng(
     dqa_ref, dka_ref, dqb_ref, dkb_ref, dv_ref,
     *, num_heads: int, window: int, threshold: int,
 ):
-    n, p_len, dm = qa_ref.shape
-    hd = dm // num_heads
-    stride = window // 2
-    scale = jnp.asarray(1.0 / math.sqrt(hd), qa_ref.dtype)
-
-    pr = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 0)
-    pc = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 1)
-    mask_a = pr // window == pc // window
-    in_band = (pc >= stride) & (pc < p_len - stride)
-    mask_b = ((pr - stride) // window == (pc - stride) // window) & in_band
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
-    b_rows = (col >= stride) & (col < p_len - stride)
-    inv_count = jnp.where(b_rows, 0.5, 1.0).astype(jnp.float32)
-
+    """`_two_phase_bwd_core` with hardware-PRNG bits — stream ids
+    (ABSOLUTE sample, ph*H + h), matching the forward kernel exactly even
+    when the backward grid uses a different cell size."""
+    n, p_len, _ = qa_ref.shape
     base = pl.program_id(0) * n
-    for s in range(n):
-        g = g_ref[s].astype(jnp.float32) * inv_count
-        g_b = jnp.where(b_rows, g, 0.0)
-        for h in range(num_heads):
-            sl = slice(h * hd, (h + 1) * hd)
-            dqa, dka, dva = _core_grads(
-                qa_ref[s][:, sl], ka_ref[s][:, sl], v_ref[s][:, sl],
-                g[:, sl], mask_a, scale,
-                bits=_prng_bits(seed_ref, base + s, h, (p_len, p_len)),
-                threshold=threshold,
-            )
-            dqb, dkb, dvb = _core_grads(
-                qb_ref[s][:, sl], kb_ref[s][:, sl], v_ref[s][:, sl],
-                g_b[:, sl], mask_b, scale,
-                bits=_prng_bits(
-                    seed_ref, base + s, num_heads + h, (p_len, p_len)
-                ),
-                threshold=threshold,
-            )
-            dqa_ref[s, :, sl] = dqa.astype(dqa_ref.dtype)
-            dka_ref[s, :, sl] = dka.astype(dka_ref.dtype)
-            dqb_ref[s, :, sl] = dqb.astype(dqb_ref.dtype)
-            dkb_ref[s, :, sl] = dkb.astype(dkb_ref.dtype)
-            dv_ref[s, :, sl] = (dva + dvb).astype(dv_ref.dtype)
+    _two_phase_bwd_core(
+        qa_ref, ka_ref, qb_ref, kb_ref, v_ref, g_ref,
+        dqa_ref, dka_ref, dqb_ref, dkb_ref, dv_ref,
+        num_heads=num_heads, window=window,
+        get_bits=lambda s, ph, h: _prng_bits(
+            seed_ref, base + s, ph * num_heads + h, (p_len, p_len)
+        ),
+        threshold=threshold,
+    )
 
 
 def two_phase_grads_drop_prng(
@@ -1871,42 +1764,15 @@ def _attention_kernel_nhd_drop_prng(
     seed_ref, q_ref, k_ref, v_ref, o_ref,
     *, num_heads: int, valid_len: int, block: int, threshold: int,
 ):
-    """`_attention_kernel_nhd_drop` with the bits generated in-kernel."""
-    _, s, dmodel = q_ref.shape
-    hd = dmodel // num_heads
-    scale = jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    mask = cols < valid_len
-    if block > 0:
-        mask = mask & (rows // block == cols // block)
-
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-
-    def logits_of(h):
-        sl = slice(h * hd, (h + 1) * hd)
-        logits = jax.lax.dot_general(
-            q[:, sl] * scale, k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.where(mask, logits, -1e30)
-
-    pending = logits_of(0)
-    for h in range(num_heads):
-        nxt = logits_of(h + 1) if h + 1 < num_heads else None
-        weights = jax.nn.softmax(pending, axis=-1)
-        bits = _prng_bits(seed_ref, pl.program_id(0), h, (s, s))
-        weights = _apply_bits(weights, bits, threshold).astype(v.dtype)
-        sl = slice(h * hd, (h + 1) * hd)
-        out = jax.lax.dot_general(
-            weights, v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, sl] = out.astype(o_ref.dtype)
-        pending = nxt
+    """`_nhd_core` with the dropout bits generated in-kernel by the TPU
+    hardware PRNG (same (sample, head) streams as `dump_bits_nhd`)."""
+    _, s, _ = q_ref.shape
+    _nhd_core(
+        q_ref, k_ref, v_ref, o_ref,
+        num_heads=num_heads, valid_len=valid_len, block=block,
+        get_bits=lambda h: _prng_bits(seed_ref, pl.program_id(0), h, (s, s)),
+        threshold=threshold,
+    )
 
 
 def _nhd_drop_prng_impl(q, k, v, seed, num_heads, block, threshold, valid_len):
@@ -1948,30 +1814,15 @@ def _nhd_bwd_kernel_drop_prng(
     seed_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     *, num_heads: int, valid_len: int, block: int, threshold: int,
 ):
-    _, s, dm = q_ref.shape
-    hd = dm // num_heads
-    scale = jnp.asarray(1.0 / math.sqrt(hd), q_ref.dtype)
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    mask = cols < valid_len
-    if block > 0:
-        mask = mask & (rows // block == cols // block)
-
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    g = g_ref[0].astype(jnp.float32)
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        dq, dk, dv = _core_grads(
-            q[:, sl], k[:, sl], v[:, sl], g[:, sl], mask, scale,
-            bits=_prng_bits(seed_ref, pl.program_id(0), h, (s, s)),
-            threshold=threshold,
-        )
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+    """`_nhd_bwd_core` with hardware-PRNG bits — same (sample, head)
+    streams as the forward kernel and `dump_bits_nhd`."""
+    _, s, _ = q_ref.shape
+    _nhd_bwd_core(
+        q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+        num_heads=num_heads, valid_len=valid_len, block=block,
+        get_bits=lambda h: _prng_bits(seed_ref, pl.program_id(0), h, (s, s)),
+        threshold=threshold,
+    )
 
 
 def nhd_grads_prng(q, k, v, seed, g, num_heads: int, block: int,
