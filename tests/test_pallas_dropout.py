@@ -197,3 +197,39 @@ def test_sub_quantum_dropout_rate_routes_to_xla():
     a = attention.self_attention(xg, p, rope, tiny, key=key, enable_dropout=True)
     b = attention.self_attention(xg, p, rope, tiny_xla, key=key, enable_dropout=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fmix32_matches_murmur3_finalizer():
+    """`_prng_bits` folds (sample, core) into the two hardware-PRNG seed
+    words via `_fmix32`; its constants/shifts must stay the murmur3 fmix32
+    finalizer (full avalanche) or per-core dropout streams decorrelate
+    poorly.  Checked against a pure-python uint32 reference."""
+    from audio_to_midi_tpu.ops.pallas_attention import _fmix32
+
+    def fmix32_py(h):
+        h &= 0xFFFFFFFF
+        h ^= h >> 16
+        h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+        h ^= h >> 13
+        h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+        h ^= h >> 16
+        return h
+
+    xs = np.array(
+        [0, 1, 2, 255, 256, 257, 2**31 - 1, -1, -2**31, 123456789, -987654321],
+        dtype=np.int32,
+    )
+    got = np.asarray(jax.jit(_fmix32)(jnp.asarray(xs))).astype(np.uint32)
+    want = np.array([fmix32_py(int(np.uint32(x))) for x in xs], dtype=np.uint32)
+    np.testing.assert_array_equal(got, want)
+
+    # The seed-fold chain must give adjacent (sample, core) ids distinct,
+    # well-mixed seed words: all folds distinct, and every output differs
+    # from its neighbour in >= 8 of 32 bits (avalanche sanity).
+    ids = np.arange(0, 4096, dtype=np.int32)
+    folds = np.asarray(jax.jit(_fmix32)(jnp.asarray(ids))).astype(np.uint32)
+    assert len(np.unique(folds)) == len(folds)
+    flips = np.unpackbits(
+        (folds[1:] ^ folds[:-1]).view(np.uint8).reshape(-1, 4), axis=1
+    ).sum(axis=1)
+    assert flips.min() >= 8
