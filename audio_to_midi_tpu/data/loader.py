@@ -156,14 +156,14 @@ _WINDOW_MEMO_BUDGET = int(os.environ.get("A2M_WINDOW_MEMO_BYTES", 2 * 1024**3))
 def _window_memo_put(key, value):
     if key in _WINDOW_MEMO:  # concurrent worker computed it first
         return
+    nbytes = sum(a.nbytes for a in value[0]) + sum(e.nbytes for e in value[1])
+    if nbytes > _WINDOW_MEMO_BUDGET:
+        return  # never cached -> caller keeps exclusive, writable arrays
     # Enforce read-only on the shared entries: callers that get memo hits (the
     # public modelutil surface included) receive these same ndarrays, and an
     # in-place mutation must raise rather than silently poison the cache.
     for arr in (*value[0], *value[1]):
         arr.setflags(write=False)
-    nbytes = sum(a.nbytes for a in value[0]) + sum(e.nbytes for e in value[1])
-    if nbytes > _WINDOW_MEMO_BUDGET:
-        return
     while _WINDOW_MEMO and _WINDOW_MEMO_BYTES[0] + nbytes > _WINDOW_MEMO_BUDGET:
         try:
             old = _WINDOW_MEMO.pop(next(iter(_WINDOW_MEMO)))

@@ -120,11 +120,13 @@ def _attend(
         enable_dropout
         and key is not None
         and q.shape[-3] >= 128
-        and dropout_threshold(dropout_rate) > 0
+        and 0 < dropout_threshold(dropout_rate) < 256
     )
     # A nonzero rate below 1/512 quantizes to threshold 0; the kernels would
     # silently run dropout-FREE where the XLA path applies the true rate, so
-    # such rates stay on XLA (reference semantics over speed).
+    # such rates stay on XLA (reference semantics over speed).  Rates >= 511/512
+    # quantize to 256 (keep NOTHING) — _apply_bits's inverted scaling divides
+    # by (256 - threshold), so those also stay on XLA (which zeroes cleanly).
     if impl in ("pallas", "pallas_rw") and mosaic_dtype_ok(q.dtype) and (
             not enable_dropout or drop_kernel_ok):
         # Natural-layout kernel: (.., S, H, hd) -> (G, S, H*hd) is a free
@@ -286,9 +288,10 @@ def local_self_attention(
         and (
             not enable_dropout
             # Sub-1/512 rates quantize to threshold 0 — keep them on the XLA
-            # path below, which applies the exact rate via nn.dropout.
+            # path below, which applies the exact rate via nn.dropout; rates
+            # quantizing to 256 (keep nothing) likewise stay on XLA.
             or (key is not None
-                and dropout_threshold(cfg.transformer_dropout_rate) > 0)
+                and 0 < dropout_threshold(cfg.transformer_dropout_rate) < 256)
         )
         and padded % window == 0
         and padded % 16 == 0

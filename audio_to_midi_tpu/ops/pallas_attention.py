@@ -328,6 +328,11 @@ def _apply_bits(weights_f32, bits, threshold: int):
 
     The comparison runs in int32 — Mosaic's v5e target rejects unsigned i8
     vector compares ("Target does not support this comparison")."""
+    if not 0 < threshold < 256:
+        raise ValueError(
+            f"dropout threshold {threshold} out of (0, 256): rate quantizes "
+            "to keep-nothing/keep-all; route such configs to the XLA path"
+        )
     keep_inv = jnp.float32(256.0 / (256.0 - threshold))
     keep = bits.astype(jnp.int32) >= jnp.int32(threshold)
     return jnp.where(keep, weights_f32 * keep_inv, 0.0)

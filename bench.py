@@ -21,8 +21,6 @@ value / 100.
 
 from __future__ import annotations
 
-import glob
-import gzip
 import json
 import shutil
 import sys
@@ -32,6 +30,9 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+from profiler_bench import _program_ms as _device_program_ms  # noqa: E402
 
 from audio_to_midi_tpu.config import DEFAULT_CONFIG
 from audio_to_midi_tpu.models import model as model_lib
@@ -46,31 +47,6 @@ SERVING_OVERLAP_SEC = 0.5  # the CLI's window overlap (reference audio_to_midi.p
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
-
-
-def _device_program_ms(trace_dir: str, tag: str) -> float:
-    """Sum on-device event durations (ms) for programs whose name starts with
-    ``tag`` (PERF.md methodology: only device-profiler sums are trustworthy
-    over the axon relay)."""
-    tot = 0.0
-    for f in glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True):
-        trace = json.loads(gzip.decompress(Path(f).read_bytes()))
-        events = trace.get("traceEvents", [])
-        device_pids = {
-            ev.get("pid")
-            for ev in events
-            if ev.get("ph") == "M"
-            and ev.get("name") == "process_name"
-            and "TPU" in ev.get("args", {}).get("name", "")
-        }
-        for ev in events:
-            if (
-                ev.get("ph") == "X"
-                and ev.get("pid") in device_pids
-                and ev.get("name", "").startswith(tag)
-            ):
-                tot += ev.get("dur", 0) / 1000.0
-    return tot
 
 
 def bench_forward_stitch(

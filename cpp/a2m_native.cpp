@@ -207,10 +207,18 @@ static int decode_pcm(const uint8_t *p, size_t n, int bits, bool little,
   size_t frames = n / (bytes_per * (size_t)channels);
   d.left.assign(frames, 0.0f);
   d.right.assign(frames, 0.0f);
-  if (bits == 16 && little && !is_float && (channels == 1 || channels == 2)) {
+  if (bits == 16 && little && !is_float && (channels == 1 || channels == 2)
+#if defined(__BYTE_ORDER__) && defined(__ORDER_LITTLE_ENDIAN__)
+      && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+#else
+      && false /* unknown host endianness: take the endian-safe generic loop */
+#endif
+  ) {
     /* The dominant cases (s16le WAV), written as tight branch-free loops the
      * compiler auto-vectorizes; same arithmetic as the generic loop below
-     * (x/32768.0f is exact — power-of-two divisor). */
+     * (x/32768.0f is exact — power-of-two divisor).  The memcpy reinterprets
+     * host-order bytes, so this path is gated to little-endian hosts; others
+     * fall through to the rd_u16le generic loop. */
     if (channels == 2) {
       for (size_t i = 0; i < frames; ++i) {
         int16_t l, r;

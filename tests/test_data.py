@@ -203,3 +203,24 @@ def test_window_memo(dataset):
     for x, y in zip(e1, e3):
         np.testing.assert_array_equal(x, y)
     assert loader._WINDOW_MEMO_BYTES[0] > 0
+
+
+def test_window_memo_over_budget_stays_writable(dataset, monkeypatch):
+    """A sample too large for the memo budget is never cached, so the caller
+    keeps exclusive, WRITABLE arrays (the read-only freeze applies only to
+    entries actually shared through the memo)."""
+    d, names = dataset
+    loader._WINDOW_MEMO.clear()
+    loader._WINDOW_MEMO_BYTES[0] = 0
+    monkeypatch.setattr(loader, "_WINDOW_MEMO_BUDGET", 1)
+    a1, e1, _ = loader.load_events_and_audio(d, names[:1], 16000, 5.0, 250)
+    assert not loader._WINDOW_MEMO
+    assert all(a.flags.writeable for a in a1) and all(
+        e.flags.writeable for e in e1
+    )
+    a1[0][:] = 0.0  # caller-owned: in-place mutation must be legal
+
+    monkeypatch.setattr(loader, "_WINDOW_MEMO_BUDGET", 2 * 1024**3)
+    b1, f1, _ = loader.load_events_and_audio(d, names[:1], 16000, 5.0, 250)
+    assert loader._WINDOW_MEMO  # cached now -> shared entries are frozen
+    assert not any(a.flags.writeable for a in b1)

@@ -233,3 +233,24 @@ def test_fmix32_matches_murmur3_finalizer():
         (folds[1:] ^ folds[:-1]).view(np.uint8).reshape(-1, 4), axis=1
     ).sum(axis=1)
     assert flips.min() >= 8
+
+
+def test_keep_nothing_dropout_rate_routes_to_xla():
+    """Rates quantizing to threshold 256 (keep NOTHING) must route to the
+    XLA path: _apply_bits's inverted scaling divides by (256 - threshold),
+    so the kernels cannot express them, while nn.dropout zeroes cleanly."""
+    from audio_to_midi_tpu.ops.pallas_attention import _apply_bits
+
+    full = dataclasses.replace(CFG_PALLAS, transformer_dropout_rate=1.0)
+    assert dropout_threshold(full.transformer_dropout_rate) == 256
+    with pytest.raises(ValueError, match="threshold"):
+        _apply_bits(jnp.ones((4, 4), jnp.float32), jnp.zeros((4, 4), jnp.uint8), 256)
+    p = attention.init_self_attention(jax.random.PRNGKey(0), full)
+    rope = model_lib.make_rope(full)
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 46, 8))
+    out = attention.local_self_attention(x, p, rope, full, key=key, enable_dropout=True)
+    assert np.isfinite(np.asarray(out)).all()
+    xg = jax.random.normal(jax.random.PRNGKey(3), (2, 250, 8))
+    out = attention.self_attention(xg, p, rope, full, key=key, enable_dropout=True)
+    assert np.isfinite(np.asarray(out)).all()
