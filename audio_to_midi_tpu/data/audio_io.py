@@ -232,6 +232,11 @@ def decode_audio(path: str | Path, sample_rate: int) -> np.ndarray:
             f"cannot decode {path}: native decoders cover wav/aif and no ffmpeg found"
         )
 
+    # Malformed headers can declare rate 0 (zero-divide in the polyphase
+    # ratio) or garbage (same guard as the native decoder, cpp decode path).
+    if not 0 < rate <= 50_000_000:
+        raise AudioDecodeError(f"implausible sample rate {rate} in {path}")
+
     if x.shape[0] == 1:
         x = np.repeat(x, 2, axis=0)
     elif x.shape[0] > 2:

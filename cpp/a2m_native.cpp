@@ -203,6 +203,12 @@ static int decode_pcm(const uint8_t *p, size_t n, int bits, bool little,
   auto push = [&](float v, size_t frame_idx, int ch) {
     (ch == 0 ? d.left : d.right)[frame_idx] = v;
   };
+  /* Validate the sample format BEFORE any arithmetic on it: bits == 0 would
+   * divide by zero below, and unsupported depths must reject cleanly
+   * (malformed files reach this parser straight from user input). */
+  if (is_float ? bits != 32
+               : (bits != 8 && bits != 16 && bits != 24 && bits != 32))
+    return -2;
   size_t bytes_per = (size_t)bits / 8;
   size_t frames = n / (bytes_per * (size_t)channels);
   d.left.assign(frames, 0.0f);
@@ -326,13 +332,18 @@ static int decode_aiff(const std::vector<uint8_t> &b, Decoded &d) {
     if (!std::memcmp(b.data() + pos, "COMM", 4) && avail >= 18) {
       channels = rd_u16be(body);
       bits = rd_u16be(body + 6);
-      d.rate = (int)std::lround(read_extended80(body + 8));
+      /* extended-80 can encode NaN/inf/out-of-int garbage in a malformed
+       * file; lround on those is undefined — range-check as double first. */
+      double rate80 = read_extended80(body + 8);
+      if (!(rate80 >= 1.0 && rate80 <= 5e7)) return -2;
+      d.rate = (int)std::lround(rate80);
       if (aifc && avail >= 22) {
         if (!std::memcmp(body + 18, "sowt", 4)) little = true;
         else if (std::memcmp(body + 18, "NONE", 4)) return -2;
       }
     } else if (!std::memcmp(b.data() + pos, "SSND", 4) && avail >= 8) {
       uint32_t offset = rd_u32be(body);
+      if ((size_t)offset > avail - 8) return -2; /* offset past chunk end */
       frames = body + 8 + offset;
       frames_len = avail - 8 - offset;
     }
@@ -421,6 +432,9 @@ extern "C" int a2m_decode_audio(const char *path, int sample_rate, float **out,
     rc = decode_aiff(bytes, d);
   else return -3; /* unsupported container: caller falls back to ffmpeg */
   if (rc != 0) return rc;
+  /* A malformed header can declare rate 0 (divide-by-zero in the polyphase
+   * ratio), negative (u32 read as int), or absurd (tap-count blowup). */
+  if (d.rate <= 0 || d.rate > 50000000) return -2;
 
   if (d.rate != sample_rate) {
     d.left = resample_channel(d.left, d.rate, sample_rate);
