@@ -38,11 +38,14 @@ def parse_events_csv(path: str | Path, duration_per_frame: float) -> list[Event]
             time, duration, key, velocity = (
                 float(parts[0]), float(parts[1]), int(float(parts[2])), float(parts[3]),
             )
-        except ValueError:
+            attack = _round_half_away(time / duration_per_frame)
+            duration_frames = max(_round_half_away(duration / duration_per_frame), 1)
+            vel = _round_half_away(velocity * 10.0)
+        except (ValueError, OverflowError):
+            # non-numeric tokens, or inf/nan from a malformed file (int() /
+            # floor() raise OverflowError on inf) — skip the line
             continue
-        attack = _round_half_away(time / duration_per_frame)
-        duration_frames = max(_round_half_away(duration / duration_per_frame), 1)
-        events.append((attack, key - 21, duration_frames, _round_half_away(velocity * 10.0)))
+        events.append((attack, key - 21, duration_frames, vel))
     events.sort()
     return events
 

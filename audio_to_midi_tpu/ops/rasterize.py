@@ -44,6 +44,8 @@ def rasterize_events_np(
         backing_frames = num_frames
     frames = np.zeros((num_frames, num_keys), np.float32)
     for attack, key, duration, _velocity in events:
+        if not 0 <= key < num_keys:  # same guard as the C++ twin: a
+            continue                 # malformed CSV key must not index
         fs = int(attack) - start_frame
         fe = fs + int(duration)
         if 0 < fs < num_frames:

@@ -585,6 +585,25 @@ static int64_t round_half_away(double x) {
   return x >= 0 ? (int64_t)std::floor(x + 0.5) : -(int64_t)std::floor(-x + 0.5);
 }
 
+/* Saturating double->i32 casts for CSV-parsed values: a malformed label file
+ * can carry 1e300/inf/NaN, and a plain (int32_t) cast of those is undefined.
+ * Semantics mirror Rust's `as` conversions (the reference parser's casts,
+ * python.rs/common.rs): saturate at the type bounds, NaN -> 0. */
+static int32_t sat_round_i32(double x) {
+  if (std::isnan(x)) return 0;
+  double r = x >= 0 ? std::floor(x + 0.5) : -std::floor(-x + 0.5);
+  if (r >= 2147483647.0) return INT32_MAX;
+  if (r <= -2147483648.0) return INT32_MIN;
+  return (int32_t)r;
+}
+
+static int32_t sat_trunc_i32(double x) {
+  if (std::isnan(x)) return 0;
+  if (x >= 2147483647.0) return INT32_MAX;
+  if (x <= -2147483648.0) return INT32_MIN;
+  return (int32_t)x;
+}
+
 extern "C" int a2m_parse_events_csv(const char *path, double dpf,
                                     int32_t **events_out, int64_t *n_out) {
   std::ifstream f(path);
@@ -613,10 +632,11 @@ extern "C" int a2m_parse_events_csv(const char *path, double dpf,
       pos = comma + 1;
     }
     if (!ok || idx < 4) continue;
-    int32_t attack = (int32_t)round_half_away(vals[0] / dpf);
-    int32_t key = (int32_t)vals[2] - 21;
-    int32_t dur = (int32_t)std::max<int64_t>(round_half_away(vals[1] / dpf), 1);
-    int32_t vel = (int32_t)round_half_away(vals[3] * 10.0);
+    int32_t attack = sat_round_i32(vals[0] / dpf);
+    int64_t key64 = (int64_t)sat_trunc_i32(vals[2]) - 21;
+    int32_t key = key64 < INT32_MIN ? INT32_MIN : (int32_t)key64;
+    int32_t dur = std::max(sat_round_i32(vals[1] / dpf), 1);
+    int32_t vel = sat_round_i32(vals[3] * 10.0);
     events.push_back({attack, key, dur, vel});
   }
   std::sort(events.begin(), events.end());
@@ -636,15 +656,17 @@ extern "C" int a2m_rasterize(const int32_t *events, int64_t n_events,
   /* python.rs:423-447 */
   std::memset(out, 0, sizeof(float) * (size_t)num_frames * (size_t)num_keys);
   for (int64_t i = 0; i < n_events; ++i) {
-    int32_t attack = events[4 * i], key = events[4 * i + 1],
-            dur = events[4 * i + 2];
+    int32_t key = events[4 * i + 1];
     if (key < 0 || key >= num_keys) continue;
-    int32_t fs = attack - start_frame;
-    int32_t fe = fs + dur;
+    /* 64-bit frame arithmetic: saturated attack/duration values from a
+     * malformed CSV would overflow i32 sums (UB); clamps below bound all
+     * indexing to [0, num_frames) either way. */
+    int64_t fs = (int64_t)events[4 * i] - start_frame;
+    int64_t fe = fs + events[4 * i + 2];
     if (fs > 0 && fs < num_frames) out[(size_t)(fs - 1) * num_keys + key] = 0.0f;
-    int32_t lo = std::max(fs, 0);
-    int32_t hi = std::min({fe, num_frames, backing_frames});
-    for (int32_t fr = lo; fr < hi; ++fr) {
+    int64_t lo = std::max<int64_t>(fs, 0);
+    int64_t hi = std::min<int64_t>({fe, num_frames, backing_frames});
+    for (int64_t fr = lo; fr < hi; ++fr) {
       float t = (float)(fr - fs);
       out[(size_t)fr * num_keys + key] = std::max(std::exp(-0.05f * t), 0.6f);
     }

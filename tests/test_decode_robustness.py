@@ -16,7 +16,7 @@ import numpy as np
 import pytest
 
 from audio_to_midi_tpu import native
-from audio_to_midi_tpu.data import audio_io
+from audio_to_midi_tpu.data import audio_io, labels
 
 
 def _valid_wav_bytes(n=400, rate=16000, channels=2, bits=16):
@@ -133,3 +133,64 @@ def test_truncated_aiff(tmp_path):
     p = tmp_path / "cut.aif"
     p.write_bytes(buf.getvalue())
     _decode_both(p)
+
+
+def _parse_both(path) -> None:
+    """CSV label parsing through the native and numpy parsers: both must
+    return a (possibly empty) event list on any input, never crash."""
+    if native.available():
+        try:
+            ev = native.parse_events_csv(path, 0.02)
+            assert all(len(row) == 4 for row in ev)
+        except (RuntimeError, ValueError, OSError):
+            pass
+    ev = labels.parse_events_csv(path, 0.02)
+    assert isinstance(ev, list)
+
+
+def test_malformed_csv(tmp_path):
+    cases = [
+        "",
+        "\n\n\n",
+        "% only a comment\n",
+        "a,b,c,d\n",
+        "header\n1.0,0.5,60,0.7\n",
+        "header\n1e309,0.5,60,0.7\n",        # inf time
+        "header\n1.0,inf,60,0.7\n",          # inf duration
+        "header\n1.0,0.5,nan,0.7\n",         # nan key
+        "header\n1.0,0.5,1e300,0.7\n",       # absurd key
+        "header\n-1e308,-1e308,-1e308,-1e308\n",
+        "header\n1.0,0.5,60\n",              # too few fields
+        "header\n1.0,0.5,60,0.7,extra,fields\n",
+        "header\n" + ",".join(["9" * 400] * 4) + "\n",   # huge tokens
+        "header\n" + "1.0,0.5,60,0.7\n" * 5000,          # many rows
+        "header\n\x00\x01\x02,\xff,60,0.7\n",            # binary garbage
+    ]
+    for i, text in enumerate(cases):
+        p = tmp_path / f"case_{i}.csv"
+        p.write_bytes(text.encode("utf-8", "surrogateescape"))
+        _parse_both(p)
+
+
+def test_fuzzed_csv_rasterizes(tmp_path):
+    """Events parsed from hostile CSVs (saturated/absurd values) must
+    rasterize without out-of-bounds writes."""
+    from audio_to_midi_tpu.ops.rasterize import rasterize_events_np
+
+    p = tmp_path / "hostile.csv"
+    p.write_text(
+        "header\n"
+        "1e308,1e308,1e300,1e308\n"
+        "-1e308,-1e308,-1e300,-1e308\n"
+        "1.0,1e15,60,0.7\n"
+        "1e15,0.5,60,0.7\n"
+        "1.0,0.5,5,0.7\n"       # key below the vocab (negative after -21)
+        "1.0,0.5,200,0.7\n"     # key above the vocab
+    )
+    if native.available():
+        ev = native.parse_events_csv(p, 0.02)  # saturated int32 rows
+        out = native.rasterize_events(ev, num_frames=250, num_keys=90)
+        assert out.shape == (250, 90) and np.isfinite(out).all()
+    ev = labels.parse_events_csv(p, 0.02)  # unbounded python ints
+    out = rasterize_events_np(ev, num_frames=250, num_keys=90)
+    assert out.shape == (250, 90) and np.isfinite(out).all()
