@@ -93,17 +93,23 @@ def read_midi_file(path: str | Path) -> list[tuple[int, str, int, int]]:
     """Minimal SMF reader returning (tick, type, key, velocity) — used by
     tests to round-trip :func:`write_midi_file` output."""
     data = Path(path).read_bytes()
-    assert data[:4] == b"MThd"
+    # Clean ValueError on malformed files (asserts vanish under -O, and a
+    # truncated file must not surface as IndexError/TypeError).
+    if data[:4] != b"MThd" or len(data) < 14:
+        raise ValueError(f"{path}: not a standard MIDI file")
     ntracks = struct.unpack(">H", data[10:12])[0]
     pos = 8 + struct.unpack(">I", data[4:8])[0]
     events = []
     for _ in range(ntracks):
-        assert data[pos : pos + 4] == b"MTrk"
+        if data[pos : pos + 4] != b"MTrk":
+            raise ValueError(f"{path}: truncated/malformed track chunk")
         length = struct.unpack(">I", data[pos + 4 : pos + 8])[0]
         end = pos + 8 + length
         pos += 8
         tick = 0
         running = None
+        if end > len(data):
+            raise ValueError(f"{path}: track length past end of file")
         while pos < end:
             delta = 0
             while True:
@@ -118,6 +124,8 @@ def read_midi_file(path: str | Path) -> list[tuple[int, str, int, int]]:
                 pos += 1
                 running = status
             else:
+                if running is None:
+                    raise ValueError(f"{path}: data byte before any status")
                 status = running
             if status == 0xFF:
                 meta_type = data[pos]

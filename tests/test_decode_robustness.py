@@ -194,3 +194,34 @@ def test_fuzzed_csv_rasterizes(tmp_path):
     ev = labels.parse_events_csv(p, 0.02)  # unbounded python ints
     out = rasterize_events_np(ev, num_frames=250, num_keys=90)
     assert out.shape == (250, 90) and np.isfinite(out).all()
+
+
+def test_malformed_midi(tmp_path):
+    """The SMF reader must raise clean ValueError/IndexError on corrupted
+    files (truncations, mutated bytes, garbage) — never hang or TypeError."""
+    from audio_to_midi_tpu.ops.midi_io import read_midi_file, write_midi_file
+
+    good = tmp_path / "good.mid"
+    write_midi_file([(0, 40, 10, 80), (5, 50, 20, 90)], 0.02, good)
+    base = bytearray(good.read_bytes())
+    assert read_midi_file(good)  # sanity
+
+    rng = np.random.default_rng(3)
+    for i in range(150):
+        data = bytearray(base)
+        mode = i % 3
+        if mode == 0:
+            data = data[: int(rng.integers(0, len(data)))]
+        elif mode == 1:
+            for _ in range(int(rng.integers(1, 6))):
+                data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        else:
+            data = bytearray(rng.integers(0, 256, int(rng.integers(0, 200)),
+                                          dtype=np.uint8).tobytes())
+        p = tmp_path / f"fuzz_{i}.mid"
+        p.write_bytes(bytes(data))
+        try:
+            out = read_midi_file(p)
+            assert isinstance(out, list)
+        except (ValueError, IndexError, struct.error):
+            pass
