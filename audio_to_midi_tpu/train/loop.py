@@ -58,7 +58,16 @@ def train(
     step_hook: Optional[Callable[[int, dict[str, Any]], None]] = None,
 ):
     """Run the training loop.  ``params``/``opt_state`` carry a leading
-    ensemble axis.  Returns (params, state, opt_state)."""
+    ensemble axis.  Returns (params, state, opt_state).
+
+    Multi-host (``jax.distributed`` initialized, process_count > 1): each
+    process's ``data_loader`` yields its LOCAL shard of every batch
+    (``batch_size // process_count`` samples) and the loop assembles global
+    data-sharded arrays per step; the device input ring is process-local and
+    auto-disables.  Checkpointing and test-set eval in multi-host runs need
+    every process to participate with identical testset data — pass
+    ``checkpoint_manager=None``/no ``testset_dirs`` from secondary processes
+    unless your storage is shared (orbax handles coordination when it is)."""
     testset_dirs = testset_dirs or {}
     num_steps = num_steps or cfg.train.num_steps
     key = key if key is not None else jax.random.PRNGKey(cfg.train.seed)
@@ -114,8 +123,38 @@ def train(
     # per-step host batches (the reference's feed shape, train.py:345).
     batch_size = cfg.train.batch_size
     host_augmented_feed = cfg.transforms is not None and not cfg.train.augment_on_device
-    use_ring = cfg.train.input_ring_capacity > 0 and not host_augmented_feed
+    # Multi-host (jax.distributed): each process's data_loader yields its
+    # LOCAL shard (batch_size // process_count samples per step) and the loop
+    # assembles global device arrays (make_array_from_process_local_data) —
+    # the reference shards data across devices the same way (README.md:59).
+    # The device ring is process-local, so it is disabled across processes.
+    multihost = jax.process_count() > 1
+    use_ring = (
+        cfg.train.input_ring_capacity > 0 and not host_augmented_feed and not multihost
+    )
     ring_settings = cfg.transforms if device_augment is not None else None
+    if multihost:
+        from ..parallel.mesh import host_local_batch_to_global
+
+        if batch_size % jax.process_count() or minibatch % jax.process_count():
+            raise ValueError(
+                f"batch_size {batch_size} and minibatch {minibatch} must both "
+                f"divide over {jax.process_count()} processes"
+            )
+        local_minibatch = minibatch // jax.process_count()
+
+        def _augment_minibatched(a, e, k):
+            # (accum, mb, ...) global arrays -> flat batch -> augment -> back.
+            acc, mb = a.shape[0], a.shape[1]
+            a2 = a.reshape(acc * mb, *a.shape[2:]).astype(jnp.float32)
+            e2 = e.reshape(acc * mb, *e.shape[2:]).astype(jnp.float32)
+            a2, e2 = device_augment(a2, e2, k)
+            return (
+                a2.reshape(acc, mb, *a2.shape[1:]),
+                e2.reshape(acc, mb, *e2.shape[1:]),
+            )
+
+        augment_minibatched = jax.jit(_augment_minibatched)
     data_iter = iter(data_loader)
     if use_ring:
         from ..data.device_ring import DeviceInputRing, _Feeder
@@ -144,7 +183,29 @@ def train(
             except StopIteration:
                 step -= 1  # no step ran for this iteration
                 break
-            if device_augment is not None:
+            if multihost:
+                # Local shard -> (accum, local_mb, ...) -> global minibatches
+                # sharded over "data"; augmentation (if on) runs as ONE global
+                # SPMD program (same key on every process => same program).
+                wire = np.float16 if device_augment is not None else np.float32
+                audio_mb = host_local_batch_to_global(
+                    reshape_to_minibatches(
+                        np.asarray(audio, dtype=wire), local_minibatch
+                    ),
+                    mesh, leading_axes=1,
+                )
+                events_mb = host_local_batch_to_global(
+                    reshape_to_minibatches(
+                        np.asarray(events, dtype=wire), local_minibatch
+                    ),
+                    mesh, leading_axes=1,
+                )
+                if device_augment is not None:
+                    key, aug_key = jax.random.split(key)
+                    audio_mb, events_mb = augment_minibatched(
+                        audio_mb, events_mb, aug_key
+                    )
+            elif device_augment is not None:
                 # Ship the wire as f16: decoded audio is already f16-rounded
                 # (python.rs:236-264), so the transfer is lossless — and half
                 # the bytes of f32 on transfer-bound links.
@@ -157,8 +218,9 @@ def train(
             else:
                 audio = jnp.asarray(audio)
                 events = jnp.asarray(events)
-            audio_mb = reshape_to_minibatches(audio, minibatch)
-            events_mb = reshape_to_minibatches(events, minibatch)
+            if not multihost:
+                audio_mb = reshape_to_minibatches(audio, minibatch)
+                events_mb = reshape_to_minibatches(events, minibatch)
 
         if use_loss_scaling and step % cfg.train.recovery_snapshot_every == 0:
             recovery = (_copy_to_host(params), _copy_to_host(opt_state))

@@ -14,7 +14,9 @@ import sys
 import numpy as np
 
 
-def main(coordinator: str, num_processes: int, process_id: int) -> int:
+def main(
+    coordinator: str, num_processes: int, process_id: int, mode: str = "step"
+) -> int:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -88,24 +90,57 @@ def main(coordinator: str, num_processes: int, process_id: int) -> int:
     audio_mb = host_local_batch_to_global(audio_local[None], mesh, leading_axes=1)
     labels_mb = host_local_batch_to_global(labels_local[None], mesh, leading_axes=1)
 
-    out = step(
-        params, opt_state, audio_mb, labels_mb, jax.random.PRNGKey(2),
-        jnp.asarray(1.0, jnp.float32),
-    )
-    loss = jax.block_until_ready(out.loss)
-    assert np.all(np.isfinite(np.asarray(loss))), loss
+    if mode == "loop":
+        # Drive the PRODUCTION training loop multi-host: per-process loaders
+        # yield local shards, loop assembles global arrays (train/loop.py
+        # multihost path) and runs 3 steps with on-device augmentation.
+        from audio_to_midi_tpu.train import loop as train_loop
+
+        _, state = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
+        _, sched = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
+        local = cfg.train.batch_size // num_processes
+        rng = np.random.default_rng(200 + process_id)  # distinct data per host
+
+        def loader():
+            for _ in range(3):
+                audio = rng.standard_normal(
+                    (local, 2, cfg.data.samples_per_window)
+                ).astype(np.float32)
+                labels = np.zeros(
+                    (local, num_frames, cfg.model.output_vocab), np.float32
+                )
+                yield labels, audio
+
+        new_params, _state, _opt = train_loop.train(
+            cfg, params, state, tx, opt_state, loader(), None, sched,
+            rope, num_frames, mesh=mesh, num_steps=3,
+        )
+        result_params = new_params
+    else:
+        out = step(
+            params, opt_state, audio_mb, labels_mb, jax.random.PRNGKey(2),
+            jnp.asarray(1.0, jnp.float32),
+        )
+        loss = jax.block_until_ready(out.loss)
+        assert np.all(np.isfinite(np.asarray(loss))), loss
+        print(f"LOSS {float(np.asarray(loss)[0]):.6f}", flush=True)
+        result_params = out.params
 
     # Digest the updated params: replicated leaves hold the full value in
     # every local shard, so addressable_data(0) is the whole array.
     digest = hashlib.sha256()
-    for leaf in jax.tree.leaves(out.params):
+    for leaf in jax.tree.leaves(result_params):
         arr = np.asarray(leaf.addressable_data(0))
         digest.update(np.ascontiguousarray(arr).tobytes())
     print(f"PARAMS_DIGEST {digest.hexdigest()}", flush=True)
-    print(f"LOSS {float(np.asarray(loss)[0]):.6f}", flush=True)
     return 0
 
 
 if __name__ == "__main__":
 
-    sys.exit(main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3])))
+    sys.exit(
+        main(
+            sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
+            sys.argv[4] if len(sys.argv) > 4 else "step",
+        )
+    )

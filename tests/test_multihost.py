@@ -23,8 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_dp_step():
+def _run_two_process(mode: str) -> list[str]:
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env = dict(os.environ)
@@ -41,7 +40,7 @@ def test_two_process_dp_step():
     worker = REPO / "tests" / "multihost_worker.py"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), coordinator, "2", str(pid)],
+            [sys.executable, str(worker), coordinator, "2", str(pid), mode],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
@@ -64,3 +63,17 @@ def test_two_process_dp_step():
         assert lines, out
         digests.append(lines[0].split()[1])
     assert digests[0] == digests[1], digests
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_dp_step():
+    _run_two_process("step")
+
+
+@pytest.mark.slow
+def test_two_process_training_loop():
+    """The PRODUCTION loop multi-host: per-process local shards, global
+    assembly inside loop.train, 3 steps with on-device augmentation; both
+    hosts end with identical replicated params."""
+    _run_two_process("loop")
