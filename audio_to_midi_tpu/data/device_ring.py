@@ -196,6 +196,7 @@ class DeviceInputRing:
         (tunneled chips) refresh competes with step dispatch for the wire, so
         the train loop throttles it (TrainConfig.input_ring_refresh_period)."""
         taken = 0
+        stalls = 0
         while True:
             need = self.filled < min_fill
             if need and feeder.exhausted:
@@ -207,9 +208,21 @@ class DeviceInputRing:
             item = feeder.get(block=need)
             if item is None:
                 if need:
-                    continue  # blocking get hit the DONE sentinel / timed out:
-                    # loop back so the exhausted check above decides
+                    # Blocking get hit the DONE sentinel or its 600 s timeout:
+                    # loop back so the exhausted check above decides — but a
+                    # live source that never produces must fail loudly, not
+                    # spin here forever.
+                    stalls += 1
+                    if stalls >= 3 and not feeder.exhausted:
+                        raise RuntimeError(
+                            "training input feed produced nothing for "
+                            f"~{stalls * 600} s while the ring needs data "
+                            f"({self.filled}/{min_fill} windows) — stuck "
+                            "loader/decoder?"
+                        )
+                    continue
                 return
+            stalls = 0
             taken += 1
             audio_np, labels_np = item
             if audio_np.shape[0] < self.chunk and self.pushed_windows == 0:

@@ -304,6 +304,15 @@ def train(
                     summary_writer.add_scalar(
                         f"train/test-loss-{name}", float(test_loss[0]), step
                     )
+                    # Beyond the reference (which only wrote the loss scalar,
+                    # train.py:434-436): the two headline metrics as scalars.
+                    summary_writer.add_scalar(
+                        f"train/test-hit-rate-{name}", float(hit_rate[0]), step
+                    )
+                    summary_writer.add_scalar(
+                        f"train/test-eventized-diff-{name}",
+                        float(eventized_diff[0]), step,
+                    )
                     for i, fig in enumerate(figs):
                         summary_writer.add_figure(f"train/test-loss-{name}-{i}", fig, step)
                 if figs:

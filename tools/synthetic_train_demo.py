@@ -48,6 +48,10 @@ def main():
         help="timbre-varied + chordal synthetic data (generalization mode)",
     )
     p.add_argument("--json-out", default=None, help="write results JSON here")
+    p.add_argument(
+        "--eval-every", type=int, default=0,
+        help="evaluate the holdout every N steps and record a metric curve",
+    )
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO, force=True)  # jax grabs root first
 
@@ -77,7 +81,7 @@ def main():
             warmup_steps=100,
             base_learning_rate=args.lr,
             print_every=100,
-            testset_loss_every=10**9,  # eval once at the end (below)
+            testset_loss_every=(args.eval_every or 10**9),
             checkpoint_every=1000,
         )
     )
@@ -110,9 +114,26 @@ def main():
         use_grain=False,
     )
 
+    curve: list[list] = []
+
+    class _CurveWriter:
+        """summary_writer shim capturing the loop's holdout eval scalars."""
+
+        def add_scalar(self, tag, value, step):
+            if tag.startswith("train/test-"):
+                curve.append([tag.removeprefix("train/test-"), step, value])
+
+        def add_figure(self, *a, **k):
+            pass
+
+        def flush(self):
+            pass
+
     params, state, opt_state = loop.train(
         cfg, params, state, tx, opt_state, data_loader, manager, sched,
         rope, num_frames, mesh=mesh,
+        testset_dirs={"holdout": val_dir} if args.eval_every else None,
+        summary_writer=_CurveWriter() if args.eval_every else None,
     )
     manager.wait_until_finished()
 
@@ -138,6 +159,8 @@ def main():
             "steps": args.steps, "batch": args.batch,
             "train_samples": args.train_samples, "variety": args.variety,
         }
+        if curve:
+            meta["holdout_curve"] = curve
         Path(args.json_out).write_text(
             json.dumps({**meta, **results}, indent=2) + "\n"
         )
