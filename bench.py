@@ -28,6 +28,28 @@ import tempfile
 import time
 from pathlib import Path
 
+
+# A wedged axon relay makes backend init HANG inside a C call (not raise),
+# where SIGALRM handlers never run — a watchdog THREAD with os._exit bounds
+# the whole startup so a dead tunnel fails fast and visibly instead of
+# hanging the scored bench run forever.
+import os as _os
+import threading as _threading
+
+_startup_done = _threading.Event()
+
+
+def _startup_watchdog():
+    if not _startup_done.wait(timeout=300):
+        print(
+            "bench: startup timed out after 300 s — TPU relay down/wedged?",
+            file=sys.stderr, flush=True,
+        )
+        _os._exit(3)
+
+
+_threading.Thread(target=_startup_watchdog, daemon=True).start()
+
 import jax
 import jax.numpy as jnp
 
@@ -120,12 +142,16 @@ def bench_forward_stitch(
 
 
 def main() -> int:
+    # Startup watchdog armed at module top: backend init from a wedged
+    # relay can hang in imports or here in jax.devices().
     try:
         devices = jax.devices()
         log(f"devices: {devices}")
     except Exception as e:
         log(f"no devices: {e}")
         devices = []
+    finally:
+        _startup_done.set()  # startup survived; benching is unbounded
 
     best_wall, best_dev = 0.0, 0.0
     for batch_size in (64, 96, 128, 160, 192, 256):
