@@ -26,6 +26,7 @@ and the labels' decay envelope needs ~1e-3 resolution.
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from functools import partial
@@ -96,12 +97,23 @@ class _Feeder:
 
         try:
             for events, audio in source:
-                audio_dev = jax.device_put(
-                    np.ascontiguousarray(np.asarray(audio), dtype=np.float16)
-                )
-                events_dev = jax.device_put(
-                    np.ascontiguousarray(np.asarray(events), dtype=np.float16)
-                )
+                audio_np = np.ascontiguousarray(np.asarray(audio), dtype=np.float16)
+                events_np = np.ascontiguousarray(np.asarray(events), dtype=np.float16)
+                # A non-finite window (corrupt float-WAV payload, decoder bug)
+                # must NOT enter the pool: ring slots are RESAMPLED for many
+                # steps, so one NaN window would poison every later batch —
+                # unlike the per-step feed, where the in-step guard skips one
+                # update and moves on.  Skip the chunk, loudly.
+                if not (
+                    np.isfinite(audio_np).all() and np.isfinite(events_np).all()
+                ):
+                    logging.getLogger(__name__).warning(
+                        "dropping feed chunk with non-finite values "
+                        "(corrupt input?) — not admitting it to the ring pool"
+                    )
+                    continue
+                audio_dev = jax.device_put(audio_np)
+                events_dev = jax.device_put(events_np)
                 # Block in THIS thread so queue depth reflects data actually
                 # on device, and the main thread never waits on a transfer.
                 jax.block_until_ready((audio_dev, events_dev))

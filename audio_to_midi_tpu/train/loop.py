@@ -284,7 +284,15 @@ def train(
                 summary_writer.add_scalar("train/steps_per_sec", steps_per_s, step)
                 summary_writer.flush()
             if step_hook is not None:
-                step_hook(step, {"loss": averaged, "lr": lr, "steps_per_s": steps_per_s})
+                step_hook(
+                    step,
+                    {
+                        "loss": averaged,
+                        "lr": lr,
+                        "steps_per_s": steps_per_s,
+                        "grad_scale": grad_scale,
+                    },
+                )
             loss_sum = jnp.zeros_like(loss_sum)
             loss_count = 0
             t_start = time.time()

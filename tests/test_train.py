@@ -256,3 +256,78 @@ def test_evolution_skipped_for_small_population():
     params, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), SMALL_MODEL, 2)
     out = evolve_model_ensemble(params, np.array([1.0, 2.0]), np.random.default_rng(0))
     assert out is params
+
+
+def test_f16_loss_scaling_state_machine(caplog, tmp_path):
+    """f16 policy end-to-end on CPU: a poisoned batch halves the grad scale
+    and rolls params back to the last snapshot; clean batches below the
+    increase threshold double it again (reference train.py:334-382)."""
+    import logging
+
+    from audio_to_midi_tpu.train import loop
+
+    cfg = small_config(
+        print_every=1, recovery_snapshot_every=1,
+        loss_scale_increase_threshold=1e9,  # always double on a clean step
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        precision=PrecisionConfig(compute_dtype=jnp.float16),
+        # Per-step feed: the ring feeder (rightly) refuses non-finite chunks,
+        # so the poisoned batch would never reach the step.
+        train=dataclasses.replace(cfg.train, num_steps=4, input_ring_capacity=0),
+    )
+    assert cfg.precision.needs_loss_scaling
+    rope = model_lib.make_rope(cfg.model)
+    params, state = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
+    tx, sched = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
+    opt_state = jax.vmap(tx.init)(params)
+    mesh = make_mesh(1)
+    params = shard_params(params, mesh)
+
+    audio, labels = _data()
+    bad = audio.copy()
+    bad[:] = np.nan
+
+    def batches():
+        yield labels, bad  # step 1: poisoned -> halve + rollback
+        while True:
+            yield labels, audio  # clean -> double per step
+
+    scales = {}
+    with caplog.at_level(logging.WARNING, logger="audio_to_midi_tpu.train.loop"):
+        loop.train(
+            cfg, params, state, tx, opt_state, batches(), None, sched, rope,
+            num_model_output_frames=20, mesh=mesh,
+            step_hook=lambda s, info: scales.__setitem__(s, info["grad_scale"]),
+        )
+    assert any(
+        "rolling back, grad scale 1.0 -> 0.5" in r.message for r in caplog.records
+    ), [r.message for r in caplog.records]
+    # Step 1 rolled back (no hook fires); steps 2-4 are clean and double the
+    # halved scale each time: 0.5 -> 1 -> 2 -> 4.
+    assert scales, scales
+    assert scales[max(scales)] == pytest.approx(4.0), scales
+
+
+def test_ring_refuses_nonfinite_chunks(caplog):
+    """Ring slots are resampled for many steps, so one NaN window would
+    poison every later batch (found by the f16 state-machine test: training
+    could never recover after a poisoned batch entered the pool).  The
+    feeder must drop non-finite chunks loudly and keep the pool clean."""
+    import logging
+
+    from audio_to_midi_tpu.data.device_ring import DeviceInputRing, _Feeder
+
+    audio_bad = np.full((4, 2, 64), np.nan, np.float32)
+    audio_ok = np.random.default_rng(0).standard_normal((4, 2, 64)).astype(np.float32)
+    labels = np.zeros((4, 8, 90), np.float32)
+
+    with caplog.at_level(logging.WARNING, logger="audio_to_midi_tpu.data.device_ring"):
+        feeder = _Feeder(iter([(labels, audio_bad), (labels, audio_ok)]))
+        ring = DeviceInputRing(capacity=8, chunk_windows=4)
+        ring.pull(feeder, min_fill=4)
+    assert ring.filled == 4  # only the clean chunk was admitted
+    audio_mb, _ = ring.sample(jax.random.PRNGKey(0), 8, 4, None)
+    assert np.isfinite(np.asarray(audio_mb)).all()
+    assert any("non-finite" in r.message for r in caplog.records)
