@@ -1,6 +1,7 @@
 """Golden tests: vectorized on-device ops vs sequential reference-semantics
 ports (tests/golden.py) and the numpy rasterizer."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -124,3 +125,44 @@ def test_rasterize_np_separator_and_decay():
     # clipped by backing frames
     out2 = rasterize.rasterize_events_np(events, 20, 0, backing_frames=8, num_keys=4)
     assert out2[7, 2] > 0 and out2[8, 2] == 0.0
+
+
+def test_eventizer_property_fuzz_four_way():
+    """Property fuzz of the hardest parity component (common.rs:47-144):
+    50 random piano-roll-like rasters plus adversarial patterns sitting
+    EXACTLY on the state-machine thresholds (0.5/0.1/0.4 and the /6 edge
+    means) must eventize identically through the python golden, the jax
+    dense scan, the jax compact path, and the C++ twin."""
+    from audio_to_midi_tpu import native
+    from audio_to_midi_tpu.ops import eventize
+
+    def all_ways(probs):
+        want = golden_extract_events(probs)
+        got_dense = eventize.extract_events(jnp.asarray(probs))
+        assert got_dense == want
+        if native.available():
+            assert native.extract_events(probs) == want
+
+    rng = np.random.default_rng(123)
+    for i in range(50):
+        probs = _make_probs(int(rng.integers(0, 2**31)), smooth=bool(i % 2))
+        all_ways(probs)
+
+    f, k = 40, 4
+    thr = np.float32
+    adversarial = []
+    # exact threshold values everywhere (> vs >= boundaries)
+    for v in (0.5, 0.1, 0.4, 0.5 + 1e-7, 0.1 - 1e-7):
+        adversarial.append(np.full((f, k), v, np.float32))
+    # square-wave on/off at varying periods (exercises re-activation gap)
+    for period in (2, 5, 6, 7, 12):
+        p = np.zeros((f, k), np.float32)
+        for start in range(0, f, 2 * period):
+            p[start : start + period] = 0.9
+        adversarial.append(p)
+    # rising/falling ramps crossing all thresholds (peak-deferral rule)
+    ramp = np.linspace(0, 1, f, dtype=np.float32)[:, None].repeat(k, 1)
+    adversarial += [ramp, ramp[::-1].copy(), np.abs(np.sin(
+        np.linspace(0, 12, f, dtype=np.float32)))[:, None].repeat(k, 1)]
+    for probs in adversarial:
+        all_ways(probs)
