@@ -95,6 +95,7 @@ class _Feeder:
     def _run(self, source):
         import jax
 
+        nonfinite_streak = 0
         try:
             for events, audio in source:
                 audio_np = np.ascontiguousarray(np.asarray(audio), dtype=np.float16)
@@ -103,15 +104,25 @@ class _Feeder:
                 # must NOT enter the pool: ring slots are RESAMPLED for many
                 # steps, so one NaN window would poison every later batch —
                 # unlike the per-step feed, where the in-step guard skips one
-                # update and moves on.  Skip the chunk, loudly.
+                # update and moves on.  Skip the chunk, loudly — but a source
+                # producing ONLY garbage must abort training fast (the pull
+                # side would otherwise block its full stall budget waiting on
+                # chunks that never arrive).
                 if not (
                     np.isfinite(audio_np).all() and np.isfinite(events_np).all()
                 ):
+                    nonfinite_streak += 1
+                    if nonfinite_streak >= 8:
+                        raise RuntimeError(
+                            "input source produced 8 non-finite feed chunks in "
+                            "a row — corrupt dataset or broken decoder"
+                        )
                     logging.getLogger(__name__).warning(
                         "dropping feed chunk with non-finite values "
                         "(corrupt input?) — not admitting it to the ring pool"
                     )
                     continue
+                nonfinite_streak = 0
                 audio_dev = jax.device_put(audio_np)
                 events_dev = jax.device_put(events_np)
                 # Block in THIS thread so queue depth reflects data actually
@@ -209,6 +220,7 @@ class DeviceInputRing:
         the train loop throttles it (TrainConfig.input_ring_refresh_period)."""
         taken = 0
         stalls = 0
+        undersized_streak = 0
         while True:
             need = self.filled < min_fill
             if need and feeder.exhausted:
@@ -237,22 +249,29 @@ class DeviceInputRing:
             stalls = 0
             taken += 1
             audio_np, labels_np = item
-            if audio_np.shape[0] < self.chunk and self.pushed_windows == 0:
-                raise ValueError(
-                    f"feed chunks carry {audio_np.shape[0]} windows but the ring "
-                    f"updates in chunks of {self.chunk}: the data loader's batch "
-                    "size must be >= the training batch size (smaller chunks "
-                    "would be dropped and the ring would never fill)"
-                )
-            # Split oversized feed chunks; a trailing partial chunk (finite
-            # sources only — the training loader yields exact batches) is
-            # dropped to keep one compiled update shape.
+            if audio_np.shape[0] < self.chunk:
+                # One trailing partial chunk (finite sources) is dropped to
+                # keep a single compiled update shape; the FIRST chunk or two
+                # undersized chunks in a row mean the source's batch size is
+                # smaller than the ring chunk — pushing nothing forever would
+                # spin the blocking fill loop through the whole dataset.
+                undersized_streak += 1
+                if self.pushed_windows == 0 or undersized_streak >= 2:
+                    raise ValueError(
+                        f"feed chunks carry {audio_np.shape[0]} windows but the "
+                        f"ring updates in chunks of {self.chunk}: the data "
+                        "loader's batch size must be >= the training batch size "
+                        "(smaller chunks are dropped and the ring would never "
+                        "refresh)"
+                    )
+                continue
+            undersized_streak = 0
+            # Split oversized feed chunks; any trailing partial is dropped
+            # (same single-update-shape rule as above).
             for lo in range(0, audio_np.shape[0] - self.chunk + 1, self.chunk):
                 self.push(
                     audio_np[lo : lo + self.chunk], labels_np[lo : lo + self.chunk]
                 )
-            if not need:
-                return
 
     def sample(self, key: jax.Array, batch: int, minibatch: int, settings):
         return _sample_batch(

@@ -352,7 +352,15 @@ def local_self_attention(
     windows = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=2)
 
     q, k, v = _qkv(windows, p, cfg.num_transformer_heads, rope)
-    if cfg.attention_impl in ("pallas", "pallas_rw") and not enable_dropout:
+    # mosaic_dtype_ok: a dtype the kernel can't take (f16) must use the
+    # windowed (B,W,16,16) einsum below, not _attend's internal fallback —
+    # that one softmaxes the FLATTENED (496, 496) masked sequence, ~31x the
+    # logits work for the same result.
+    if (
+        cfg.attention_impl in ("pallas", "pallas_rw")
+        and not enable_dropout
+        and mosaic_dtype_ok(q.dtype)
+    ):
         # Flatten the (windows, window) axes into one sequence and let the
         # fused kernel's block-diagonal mask realize the per-window softmax.
         heads, hd = q.shape[-2], q.shape[-1]

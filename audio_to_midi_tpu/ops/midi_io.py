@@ -101,7 +101,7 @@ def read_midi_file(path: str | Path) -> list[tuple[int, str, int, int]]:
     pos = 8 + struct.unpack(">I", data[4:8])[0]
     events = []
     for _ in range(ntracks):
-        if data[pos : pos + 4] != b"MTrk":
+        if data[pos : pos + 4] != b"MTrk" or pos + 8 > len(data):
             raise ValueError(f"{path}: truncated/malformed track chunk")
         length = struct.unpack(">I", data[pos + 4 : pos + 8])[0]
         end = pos + 8 + length
@@ -110,39 +110,46 @@ def read_midi_file(path: str | Path) -> list[tuple[int, str, int, int]]:
         running = None
         if end > len(data):
             raise ValueError(f"{path}: track length past end of file")
-        while pos < end:
-            delta = 0
-            while True:
-                b = data[pos]
-                pos += 1
-                delta = (delta << 7) | (b & 0x7F)
+
+        # Every read below goes through these, so a truncated varint/payload
+        # at the declared track end (or EOF) raises a clean ValueError and an
+        # event can never silently consume the next track's bytes.
+        def _byte() -> int:
+            nonlocal pos
+            if pos >= end:
+                raise ValueError(f"{path}: event data past declared track end")
+            b = data[pos]
+            pos += 1
+            return b
+
+        def _varint() -> int:
+            v = 0
+            for _ in range(4):  # SMF varints are at most 4 bytes
+                b = _byte()
+                v = (v << 7) | (b & 0x7F)
                 if not (b & 0x80):
-                    break
-            tick += delta
-            status = data[pos]
+                    return v
+            raise ValueError(f"{path}: unterminated variable-length quantity")
+
+        while pos < end:
+            tick += _varint()
+            status = _byte()
             if status & 0x80:
-                pos += 1
                 running = status
             else:
                 if running is None:
                     raise ValueError(f"{path}: data byte before any status")
                 status = running
+                pos -= 1  # the byte was event data, not a status
             if status == 0xFF:
-                meta_type = data[pos]
-                pos += 1
-                mlen = 0
-                while True:
-                    b = data[pos]
-                    pos += 1
-                    mlen = (mlen << 7) | (b & 0x7F)
-                    if not (b & 0x80):
-                        break
-                payload = data[pos : pos + mlen]
+                meta_type = _byte()
+                mlen = _varint()
+                if pos + mlen > end:
+                    raise ValueError(f"{path}: meta event past declared track end")
                 pos += mlen
                 events.append((tick, f"meta_{meta_type:02x}", 0, 0))
             elif status & 0xF0 in (0x80, 0x90):
-                key, vel = data[pos], data[pos + 1]
-                pos += 2
+                key, vel = _byte(), _byte()
                 kind = "note_on" if (status & 0xF0) == 0x90 and vel > 0 else "note_off"
                 events.append((tick, kind, key, vel))
             else:

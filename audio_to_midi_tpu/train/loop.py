@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import logging
 import time
+import warnings
 from pathlib import Path
 from typing import Any, Callable, Iterable, Optional
 
@@ -122,7 +123,25 @@ def train(
     # augmentation) or when input_ring_capacity == 0, falling back to
     # per-step host batches (the reference's feed shape, train.py:345).
     batch_size = cfg.train.batch_size
-    host_augmented_feed = cfg.transforms is not None and not cfg.train.augment_on_device
+    # A loader built with transform_settings augments on the HOST regardless
+    # of cfg.train.augment_on_device (callers following the pre-ring pattern
+    # ThreadedBatchLoader(..., transform_settings=cfg.transforms) with the
+    # augment_on_device default now True): trust the loader over the config
+    # so such a feed is never double-augmented or ring-reused.
+    loader_host_augments = getattr(data_loader, "transform_settings", None) is not None
+    if loader_host_augments and device_augment is not None:
+        warnings.warn(
+            "data_loader was built with transform_settings (host augmentation) "
+            "but cfg.train.augment_on_device is True; disabling on-device "
+            "augmentation and the input ring for this run. Build the loader "
+            "with transform_settings=None to use the fast device-augmented "
+            "ring feed.",
+            stacklevel=2,
+        )
+        device_augment = None
+    host_augmented_feed = loader_host_augments or (
+        cfg.transforms is not None and not cfg.train.augment_on_device
+    )
     # Multi-host (jax.distributed): each process's data_loader yields its
     # LOCAL shard (batch_size // process_count samples per step) and the loop
     # assembles global device arrays (make_array_from_process_local_data) —

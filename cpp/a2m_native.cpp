@@ -10,7 +10,9 @@
 #include <algorithm>
 #include <array>
 #include <cctype>
+#include <cerrno>
 #include <cmath>
+#include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -585,23 +587,60 @@ static int64_t round_half_away(double x) {
   return x >= 0 ? (int64_t)std::floor(x + 0.5) : -(int64_t)std::floor(-x + 0.5);
 }
 
-/* Saturating double->i32 casts for CSV-parsed values: a malformed label file
- * can carry 1e300/inf/NaN, and a plain (int32_t) cast of those is undefined.
- * Semantics mirror Rust's `as` conversions (the reference parser's casts,
- * python.rs/common.rs): saturate at the type bounds, NaN -> 0. */
-static int32_t sat_round_i32(double x) {
+/* CSV field parsing with the reference's Rust semantics (python.rs:39-55,
+ * 71-84), bit-matched by the numpy twin (data/labels.py):
+ *  - time/duration/velocity deserialize as f32 (strict full-token parse;
+ *    overflow is NOT an error in Rust — `1e40` parses to inf) and the
+ *    quantization arithmetic runs in f32 (`frame_position` takes f32);
+ *  - key deserializes as u32 (strict: optional '+', ASCII digits,
+ *    <= u32::MAX) — anything else is a serde error that skips the row;
+ *  - `x.round() as u32` saturates: NaN -> 0, negative -> 0, overflow caps.
+ *    We cap at INT32_MAX instead of UINT32_MAX so events stay int32 across
+ *    the C ABI; all consumers ignore frames beyond the raster, so the caps
+ *    are behaviorally identical.  `key - 21` is stored signed instead of
+ *    u32-wrapped: both are out of the 0..88 vocab for key < 21. */
+static int32_t round_u32_sat(float x) {
   if (std::isnan(x)) return 0;
-  double r = x >= 0 ? std::floor(x + 0.5) : -std::floor(-x + 0.5);
+  double xd = (double)x; /* exact; keeps the half-away add exact too */
+  double r = xd >= 0 ? std::floor(xd + 0.5) : -std::floor(-xd + 0.5);
+  if (r <= 0.0) return 0;
   if (r >= 2147483647.0) return INT32_MAX;
-  if (r <= -2147483648.0) return INT32_MIN;
   return (int32_t)r;
 }
 
-static int32_t sat_trunc_i32(double x) {
-  if (std::isnan(x)) return 0;
-  if (x >= 2147483647.0) return INT32_MAX;
-  if (x <= -2147483648.0) return INT32_MIN;
-  return (int32_t)x;
+/* Strict full-token f32 parse; returns false on serde-style errors
+ * (empty/partial tokens), true otherwise with +/-inf on overflow. */
+static bool parse_f32_strict(const std::string &tok, float *out) {
+  if (tok.empty() || tok.find('_') != std::string::npos) return false;
+  /* strtof extensions Rust/Python reject: hex floats, nan(payload). */
+  if (tok.find_first_of("(xX") != std::string::npos) return false;
+  errno = 0;
+  const char *s = tok.c_str();
+  /* strtof skips leading whitespace Rust would reject; tokens are already
+   * trimmed, but reject any residual space to stay strict. */
+  if (std::isspace((unsigned char)s[0])) return false;
+  char *end = nullptr;
+  float v = std::strtof(s, &end);
+  if (end != s + tok.size()) return false; /* trailing garbage */
+  /* ERANGE covers overflow (-> +/-HUGE_VALF == inf, keep) and underflow
+   * (-> denormal/0, keep) — Rust float parsing never errors on range. */
+  *out = v;
+  return true;
+}
+
+/* Rust str::parse::<u32>: optional '+', ASCII digits only, <= u32::MAX. */
+static bool parse_u32_strict(const std::string &tok, uint32_t *out) {
+  size_t i = tok.size() > 0 && tok[0] == '+' ? 1 : 0;
+  if (i >= tok.size()) return false;
+  uint64_t v = 0;
+  for (; i < tok.size(); ++i) {
+    char c = tok[i];
+    if (c < '0' || c > '9') return false;
+    v = v * 10 + (uint64_t)(c - '0');
+    if (v > 0xFFFFFFFFull) return false;
+  }
+  *out = (uint32_t)v;
+  return true;
 }
 
 extern "C" int a2m_parse_events_csv(const char *path, double dpf,
@@ -611,6 +650,7 @@ extern "C" int a2m_parse_events_csv(const char *path, double dpf,
   std::vector<std::array<int32_t, 4>> events;
   std::string line;
   bool first_record = true;
+  const float dpf_f = (float)dpf;
   while (std::getline(f, line)) {
     size_t b = line.find_first_not_of(" \t\r\n");
     if (b == std::string::npos) continue;
@@ -618,25 +658,37 @@ extern "C" int a2m_parse_events_csv(const char *path, double dpf,
     std::string t = line.substr(b, e - b + 1);
     if (t.empty() || t[0] == '%') continue;
     if (first_record) { first_record = false; continue; } /* python.rs:72 */
-    double vals[4];
+    std::string toks[4];
     int idx = 0;
     size_t pos = 0;
     bool ok = true;
-    while (idx < 4) {
+    while (true) {
       size_t comma = t.find(',', pos);
       std::string tok = t.substr(pos, comma == std::string::npos ? std::string::npos : comma - pos);
-      try {
-        vals[idx++] = std::stod(tok);
-      } catch (...) { ok = false; break; }
+      size_t tb = tok.find_first_not_of(" \t");
+      if (tb == std::string::npos) tok.clear();
+      else {
+        size_t te = tok.find_last_not_of(" \t");
+        tok = tok.substr(tb, te - tb + 1);
+      }
+      if (idx >= 4) { ok = false; break; } /* >4 fields: UnequalLengths */
+      toks[idx++] = tok;
       if (comma == std::string::npos) break;
       pos = comma + 1;
     }
-    if (!ok || idx < 4) continue;
-    int32_t attack = sat_round_i32(vals[0] / dpf);
-    int64_t key64 = (int64_t)sat_trunc_i32(vals[2]) - 21;
-    int32_t key = key64 < INT32_MIN ? INT32_MIN : (int32_t)key64;
-    int32_t dur = std::max(sat_round_i32(vals[1] / dpf), 1);
-    int32_t vel = sat_round_i32(vals[3] * 10.0);
+    if (!ok || idx != 4) continue; /* field-count != 4: row skipped */
+    float time_f, dur_f, vel_f;
+    uint32_t key_u;
+    if (!parse_f32_strict(toks[0], &time_f) ||
+        !parse_f32_strict(toks[1], &dur_f) ||
+        !parse_u32_strict(toks[2], &key_u) ||
+        !parse_f32_strict(toks[3], &vel_f))
+      continue; /* serde deserialize error: row skipped */
+    int32_t attack = round_u32_sat(time_f / dpf_f);
+    int64_t key64 = (int64_t)key_u - 21;
+    int32_t key = key64 > INT32_MAX ? INT32_MAX : (int32_t)key64;
+    int32_t dur = std::max(round_u32_sat(dur_f / dpf_f), 1);
+    int32_t vel = round_u32_sat(vel_f * 10.0f);
     events.push_back({attack, key, dur, vel});
   }
   std::sort(events.begin(), events.end());

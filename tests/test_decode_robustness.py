@@ -187,18 +187,119 @@ def test_fuzzed_csv_rasterizes(tmp_path):
         "1.0,0.5,5,0.7\n"       # key below the vocab (negative after -21)
         "1.0,0.5,200,0.7\n"     # key above the vocab
     )
-    if native.available():
-        ev = native.parse_events_csv(p, 0.02)  # saturated int32 rows
-        out = native.rasterize_events(ev, num_frames=250, num_keys=90)
-        assert out.shape == (250, 90) and np.isfinite(out).all()
-    ev = labels.parse_events_csv(p, 0.02)  # unbounded python ints
+    ev = labels.parse_events_csv(p, 0.02)  # saturated i32 rows (f32 parse)
     out = rasterize_events_np(ev, num_frames=250, num_keys=90)
     assert out.shape == (250, 90) and np.isfinite(out).all()
+    if native.available():
+        nev = native.parse_events_csv(p, 0.02)
+        assert [tuple(r) for r in nev] == ev  # twins bit-identical
+        out = native.rasterize_events(nev, num_frames=250, num_keys=90)
+        assert out.shape == (250, 90) and np.isfinite(out).all()
+
+
+def test_csv_parser_twins_agree_on_hostile_rows(tmp_path):
+    """Reference-semantics edge rows must parse IDENTICALLY through the
+    numpy and native parsers (python.rs:39-55 deserialize rules: f32 fields
+    saturate on overflow and keep the row; u32 key / field-count / trailing
+    garbage errors skip the row)."""
+    rows = [
+        "1.0,inf,60,0.7",          # inf duration: kept, duration saturates
+        "1e309,0.5,60,0.7",        # f64-overflow time: f32 inf, kept
+        "1e40,0.5,60,0.7",         # f32-overflow time: inf, kept
+        "-2.0,0.5,60,0.7",         # negative time: attack 0 (as u32)
+        "1.0,0.5,nan,0.7",         # nan key: u32 parse error, row skipped
+        "1.0,0.5,60.5,0.7",        # non-integer key: row skipped
+        "1.0,0.5,-5,0.7",          # negative key: u32 error, row skipped
+        "1.0,0.5,+60,0.7",         # '+' prefix key: accepted by u32 parse
+        "1.0,0.5,99999999999,0.7", # key > u32::MAX: row skipped
+        "nan,0.5,60,0.7",          # nan time: attack 0
+        "1.0,0.5,60,-0.3",         # negative velocity: 0 (as u32)
+        "60abc,0.5,60,0.7",        # trailing garbage: row skipped
+        "0x1p3,0.5,60,0.7",        # hex float: rejected (Rust rejects)
+        "1_0,0.5,60,0.7",          # underscore: rejected (Rust rejects)
+        "1.0,0.5,60,0.7,extra",    # 5 fields: UnequalLengths, row skipped
+        "1.0,0.5,60",              # 3 fields: UnequalLengths, row skipped
+        " 1.23 , 0.5 ,60, 0.7 ",   # Trim::All per-field whitespace
+        ".5,0.5,60,0.7",           # leading-dot float accepted
+        "1e-50,0.5,60,0.7",        # f32 underflow -> 0.0, kept
+        "infinity,0.5,60,0.7",     # long-form inf accepted
+    ]
+    p = tmp_path / "edges.csv"
+    p.write_text("header\n" + "\n".join(rows) + "\n")
+    py = labels.parse_events_csv(p, 0.02)
+    # Kept rows: every f32-parseable row with a valid u32 key and 4 fields.
+    assert len(py) == 11
+    assert (0, 39, 25, 7) in py         # negative time saturates to frame 0
+    assert (2147483647, 39, 25, 7) in py  # inf time saturates
+    if native.available():
+        nat = native.parse_events_csv(p, 0.02)
+        assert [tuple(r) for r in nat] == py
+
+
+def test_csv_parser_f32_quantization_boundary(tmp_path):
+    """The arithmetic runs in f32 like the reference (frame_position takes
+    f32, python.rs:53): a time whose f32 quotient rounds differently from
+    the f64 quotient must follow the f32 result through both parsers."""
+    # 308.329997 / 0.02: f32 quotient is exactly 15416.5 -> 15417 (half-away);
+    # the f64 quotient is 15416.49985 -> 15416.  A f64 port would be off by a
+    # frame on this row.
+    q32 = int(np.floor(float(np.float32(308.329997) / np.float32(0.02)) + 0.5))
+    q64 = int(np.floor(308.329997 / 0.02 + 0.5))
+    assert (q32, q64) == (15417, 15416)  # the boundary actually bites
+    p = tmp_path / "boundary.csv"
+    p.write_text("header\n308.329997,0.5,60,0.7\n")
+    py = labels.parse_events_csv(p, 0.02)
+    assert py == [(15417, 39, 25, 7)]
+    if native.available():
+        assert [tuple(r) for r in native.parse_events_csv(p, 0.02)] == py
+
+
+def test_midi_truncation_is_clean_valueerror(tmp_path):
+    """Directed truncation edges: a final delta-time byte with the
+    continuation bit set, an event cut at the declared track end, and a
+    track length that matches EOF but whose last event is short must all be
+    ValueError — never IndexError — and a varint crossing the declared track
+    end must not silently consume the next track's bytes."""
+    from audio_to_midi_tpu.ops.midi_io import read_midi_file, write_midi_file
+
+    good = tmp_path / "good.mid"
+    write_midi_file([(0, 40, 10, 80)], 0.02, good)
+    base = bytearray(good.read_bytes())
+    assert read_midi_file(good)
+
+    # (a) last byte of the track gets the continuation bit: the varint reader
+    # used to walk past the end and IndexError at EOF.
+    data = bytearray(base)
+    data[-1] |= 0x80
+    p = tmp_path / "cont.mid"
+    p.write_bytes(bytes(data))
+    with pytest.raises(ValueError):
+        read_midi_file(p)
+
+    # (b) note-on cut one byte short, track length adjusted to match EOF so
+    # the header-level length check passes.
+    data = bytearray(base)
+    data = data[:-1]
+    tlen = struct.unpack(">I", bytes(data[18:22]))[0] - 1
+    data[18:22] = struct.pack(">I", tlen)
+    p2 = tmp_path / "short.mid"
+    p2.write_bytes(bytes(data))
+    with pytest.raises(ValueError):
+        read_midi_file(p2)
+
+    # (c) meta length claims more bytes than the track holds.
+    data = bytearray(base)
+    data[-1] = 0x40  # end-of-track meta length 0 -> 64
+    p3 = tmp_path / "meta.mid"
+    p3.write_bytes(bytes(data))
+    with pytest.raises(ValueError):
+        read_midi_file(p3)
 
 
 def test_malformed_midi(tmp_path):
-    """The SMF reader must raise clean ValueError/IndexError on corrupted
-    files (truncations, mutated bytes, garbage) — never hang or TypeError."""
+    """The SMF reader must raise clean ValueError on corrupted files
+    (truncations, mutated bytes, garbage) — never hang, IndexError or
+    TypeError."""
     from audio_to_midi_tpu.ops.midi_io import read_midi_file, write_midi_file
 
     good = tmp_path / "good.mid"
@@ -223,5 +324,7 @@ def test_malformed_midi(tmp_path):
         try:
             out = read_midi_file(p)
             assert isinstance(out, list)
-        except (ValueError, IndexError, struct.error):
+        except (ValueError, struct.error):
+            # struct.error only from the fixed-size header unpacks;
+            # IndexError must never escape the event loop.
             pass

@@ -160,3 +160,50 @@ def test_train_loop_with_ring(tmp_path):
         assert np.isfinite(arr).all()
         moved = moved or not np.array_equal(arr, np.asarray(old))
     assert moved
+
+
+def test_persistent_undersized_chunks_raise_not_hang():
+    """A source whose batch size shrinks mid-stream (first chunk full, rest
+    undersized) used to spin the blocking fill loop through the whole
+    dataset pushing nothing; two undersized chunks in a row must raise."""
+    chunks = [(_chunk(0)[1], _chunk(0)[0])] + [
+        (_chunk(4, w=2)[1], _chunk(4, w=2)[0]) for _ in range(50)
+    ]
+    feeder = _Feeder(iter(chunks), depth=2)
+    ring = DeviceInputRing(capacity=16, chunk_windows=4)
+    with pytest.raises(ValueError, match="2 windows"):
+        ring.pull(feeder, min_fill=16)
+    assert ring.filled == 4  # the one full chunk landed
+
+
+def test_single_trailing_partial_chunk_tolerated():
+    """A finite source's one trailing partial chunk is dropped silently
+    (single compiled update shape), not an error."""
+    chunks = [
+        (_chunk(0)[1], _chunk(0)[0]),
+        (_chunk(4)[1], _chunk(4)[0]),
+        (_chunk(8, w=2)[1], _chunk(8, w=2)[0]),  # trailing partial
+    ]
+    feeder = _Feeder(iter(chunks), depth=2)
+    ring = DeviceInputRing(capacity=16, chunk_windows=4)
+    ring.pull(feeder, min_fill=16)  # exhausts the source
+    assert ring.filled == 8
+    assert feeder.exhausted
+
+
+def test_pull_max_chunks_drains_that_many():
+    """Once min_fill is satisfied, max_chunks caps the non-blocking refresh
+    per call (and None means drain everything ready)."""
+    import time
+
+    chunks = [(_chunk(i * 4)[1], _chunk(i * 4)[0]) for i in range(6)]
+    feeder = _Feeder(iter(chunks), depth=8)
+    time.sleep(0.3)  # let the feeder thread queue everything
+    ring = DeviceInputRing(capacity=64, chunk_windows=4)
+    ring.pull(feeder, min_fill=4, max_chunks=0)
+    first = ring.pushed_windows
+    assert first >= 4  # blocked only until min_fill
+    ring.pull(feeder, min_fill=4, max_chunks=2)
+    assert ring.pushed_windows == first + 8  # exactly two more chunks
+    ring.pull(feeder, min_fill=4, max_chunks=None)  # drain the rest
+    assert ring.pushed_windows == 24

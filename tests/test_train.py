@@ -159,7 +159,11 @@ def test_bf16_loop_skips_nonfinite_update(caplog, tmp_path):
     cfg = dataclasses.replace(
         cfg,
         precision=PrecisionConfig(compute_dtype=jnp.bfloat16),
-        train=dataclasses.replace(cfg.train, num_steps=2, print_every=1),
+        # Per-step feed: the ring feeder (rightly) refuses non-finite chunks,
+        # so a poisoned batch would never reach the in-step guard under test.
+        train=dataclasses.replace(
+            cfg.train, num_steps=2, print_every=1, input_ring_capacity=0
+        ),
     )
     assert not cfg.precision.needs_loss_scaling
     rope = model_lib.make_rope(cfg.model)
@@ -331,3 +335,60 @@ def test_ring_refuses_nonfinite_chunks(caplog):
     audio_mb, _ = ring.sample(jax.random.PRNGKey(0), 8, 4, None)
     assert np.isfinite(np.asarray(audio_mb)).all()
     assert any("non-finite" in r.message for r in caplog.records)
+
+
+def test_host_augmenting_loader_disables_device_augment():
+    """A loader built with transform_settings (the pre-ring canonical
+    pattern) augments on the HOST; with augment_on_device now defaulting to
+    True the loop must trust the loader — disabling on-device augmentation
+    (no double augment) and the ring (no reuse of host-augmented windows) —
+    instead of silently degrading the training distribution."""
+    from audio_to_midi_tpu.config import TransformSettings
+    from audio_to_midi_tpu.train import loop
+
+    cfg = small_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, num_steps=2, print_every=1)
+    )
+    assert cfg.train.augment_on_device and cfg.transforms is not None
+
+    rope = model_lib.make_rope(cfg.model)
+    params, state = model_lib.init_ensemble(jax.random.PRNGKey(0), cfg.model, 1)
+    tx, sched = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
+    opt_state = jax.vmap(tx.init)(params)
+    mesh = make_mesh(1)
+    params = shard_params(params, mesh)
+    audio, labels = _data()
+
+    class HostAugmentingLoader:
+        transform_settings = TransformSettings()  # host augmentation marker
+
+        def __iter__(self):
+            while True:
+                yield labels, audio
+
+    with pytest.warns(UserWarning, match="host augmentation"):
+        loop.train(
+            cfg, params, state, tx, opt_state, HostAugmentingLoader(), None,
+            sched, rope, num_model_output_frames=20, mesh=mesh,
+        )
+
+
+def test_ring_feeder_all_garbage_source_fails_fast():
+    """A source producing ONLY non-finite chunks must abort the blocking
+    fill quickly (feeder error after 8 consecutive drops), not block the
+    pull stall budget (~30 min) while the pool stays empty."""
+    from audio_to_midi_tpu.data.device_ring import DeviceInputRing, _Feeder
+
+    audio_bad = np.full((4, 2, 64), np.nan, np.float32)
+    labels = np.zeros((4, 8, 90), np.float32)
+
+    def poisoned():
+        while True:
+            yield labels, audio_bad
+
+    feeder = _Feeder(poisoned(), depth=2)
+    ring = DeviceInputRing(capacity=8, chunk_windows=4)
+    with pytest.raises(RuntimeError, match="input feed thread failed") as ei:
+        ring.pull(feeder, min_fill=4)
+    assert "non-finite" in str(ei.value.__cause__)
