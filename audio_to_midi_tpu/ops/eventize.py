@@ -81,8 +81,8 @@ def extract_events_dense(probs: jax.Array):
     next_avg = next_sum / EDGE_SAMPLES
     rising = (next_avg - prev_avg) > REACTIVATION_GAP  # (N, K)
 
-    # p[f] < p[f+1] -> defer re-activation to the next frame (common.rs:116-119)
-    p_next = jnp.concatenate([p[1:], p[-1:]], axis=0)
+    # p[f] < p[f+1] -> defer re-activation to the next frame (common.rs:116-119);
+    # the last frame has no successor, so it never defers.
     defer = jnp.concatenate(
         [p[:-1] < p[1:], jnp.zeros((1, num_keys), bool)], axis=0
     )

@@ -73,6 +73,10 @@ def write_midi_file(
     # clocks_per_click=24, notated_32nd_notes_per_beat=8
     num, den = time_signature
     den_pow = den.bit_length() - 1
+    if den <= 0 or den != 1 << den_pow:
+        # SMF stores log2(denominator); non-powers-of-2 are unrepresentable
+        # (mido, the reference's writer at infer.py:57, rejects them too).
+        raise ValueError(f"time signature denominator must be a power of 2, got {den}")
     track += _var_len(0) + bytes([0xFF, 0x58, 0x04, num, den_pow, 24, 8])
 
     current = 0
@@ -90,8 +94,14 @@ def write_midi_file(
 
 
 def read_midi_file(path: str | Path) -> list[tuple[int, str, int, int]]:
-    """Minimal SMF reader returning (tick, type, key, velocity) — used by
-    tests to round-trip :func:`write_midi_file` output."""
+    """SMF reader returning (tick, type, key, velocity).
+
+    Notes come back as ``note_on``/``note_off`` events (zero-velocity
+    note-on normalized to note_off); meta events as ``meta_<type>``.  Other
+    channel messages (program change, CC, pitch bend, aftertouch) and sysex
+    are parsed and skipped with their correct operand counts, and meta/sysex
+    cancel running status per the SMF spec — so files written by other
+    software read cleanly, not just :func:`write_midi_file` round-trips."""
     data = Path(path).read_bytes()
     # Clean ValueError on malformed files (asserts vanish under -O, and a
     # truncated file must not surface as IndexError/TypeError).
@@ -142,16 +152,27 @@ def read_midi_file(path: str | Path) -> list[tuple[int, str, int, int]]:
                 status = running
                 pos -= 1  # the byte was event data, not a status
             if status == 0xFF:
+                running = None  # meta events cancel running status (SMF spec)
                 meta_type = _byte()
                 mlen = _varint()
                 if pos + mlen > end:
                     raise ValueError(f"{path}: meta event past declared track end")
                 pos += mlen
                 events.append((tick, f"meta_{meta_type:02x}", 0, 0))
+            elif status in (0xF0, 0xF7):
+                running = None  # sysex cancels running status too
+                slen = _varint()
+                if pos + slen > end:
+                    raise ValueError(f"{path}: sysex event past declared track end")
+                pos += slen
             elif status & 0xF0 in (0x80, 0x90):
                 key, vel = _byte(), _byte()
                 kind = "note_on" if (status & 0xF0) == 0x90 and vel > 0 else "note_off"
                 events.append((tick, kind, key, vel))
+            elif status & 0xF0 in (0xA0, 0xB0, 0xE0):
+                _byte(), _byte()  # aftertouch / controller / pitch bend: skipped
+            elif status & 0xF0 in (0xC0, 0xD0):
+                _byte()  # program change / channel pressure: skipped
             else:
                 raise ValueError(f"unhandled MIDI status {status:#x}")
     return events

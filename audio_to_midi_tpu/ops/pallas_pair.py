@@ -152,7 +152,6 @@ def _pair_kernel(
     b_rows = (col >= stride) & (col < p_len - stride)  # rows phase B covers
     inv_count = jnp.where(b_rows, 0.5, 1.0).astype(jnp.float32)
 
-    hxd = q.shape[-1]
     per_sample = []
     for s in range(n):
         sl = slice(s * p_len, (s + 1) * p_len)
@@ -207,7 +206,8 @@ def _pair_kernel(
     # ---- sublayer 4: global FFN ------------------------------------------
     h = _ln_rows(xf, g_ln2)
     h1 = _matmul(h, g_w1, g_b1)
-    g2 = jax.nn.gelu(h1[:, :inter]) * h1[:, inter:]
+    g_inter = h1.shape[-1] // 2  # split at the GLOBAL h1 width, not the local
+    g2 = jax.nn.gelu(h1[:, :g_inter]) * h1[:, g_inter:]
     xf = xf + masked(_matmul(g2, g_w2, g_b2))
 
     o_ref[...] = xf.reshape(n, p_len, d)

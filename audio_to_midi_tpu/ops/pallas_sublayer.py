@@ -62,7 +62,6 @@ def _local_sublayer_kernel(
     b_rows = (col >= stride) & (col < p_len - stride)
     inv_count = jnp.where(b_rows, 0.5, 1.0).astype(jnp.float32)
 
-    hxd = q.shape[-1]
     per_sample = []
     for s in range(n):
         sl = slice(s * p_len, (s + 1) * p_len)

@@ -328,3 +328,37 @@ def test_malformed_midi(tmp_path):
             # struct.error only from the fixed-size header unpacks;
             # IndexError must never escape the event loop.
             pass
+
+
+def test_midi_reader_handles_foreign_channel_messages(tmp_path):
+    """Files from other software carry program changes, CCs, pitch bends and
+    sysex between notes (and rely on meta/sysex cancelling running status);
+    the reader must skip them with correct operand counts, not raise."""
+    from audio_to_midi_tpu.ops.midi_io import read_midi_file
+
+    track = bytearray()
+    track += bytes([0x00, 0xC0, 0x05])                 # program change
+    track += bytes([0x00, 0xB0, 0x07, 0x64])           # CC volume
+    track += bytes([0x00, 0x90, 0x3C, 0x50])           # note on C4
+    track += bytes([0x10, 0x3E, 0x40])                 # running status note on D4
+    track += bytes([0x00, 0xFF, 0x01, 0x03]) + b"abc"  # text meta (cancels RS)
+    track += bytes([0x00, 0x90, 0x40, 0x30])           # explicit status required
+    track += bytes([0x08, 0xE0, 0x00, 0x40])           # pitch bend
+    track += bytes([0x00, 0xF0, 0x02, 0x01, 0xF7])     # sysex, length 2
+    track += bytes([0x10, 0x80, 0x3C, 0x00])           # note off
+    track += bytes([0x00, 0xFF, 0x2F, 0x00])           # end of track
+
+    data = struct.pack(">4sIHHH", b"MThd", 6, 1, 1, 480)
+    data += struct.pack(">4sI", b"MTrk", len(track)) + bytes(track)
+    p = tmp_path / "foreign.mid"
+    p.write_bytes(data)
+
+    events = read_midi_file(p)
+    notes = [e for e in events if e[1].startswith("note")]
+    assert notes == [
+        (0, "note_on", 0x3C, 0x50),
+        (16, "note_on", 0x3E, 0x40),
+        (16, "note_on", 0x40, 0x30),
+        (40, "note_off", 0x3C, 0x00),
+    ]
+    assert any(e[1] == "meta_01" for e in events)
