@@ -41,7 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--checkpoint", default=None,
         help="Checkpoint directory (default: ./audio_to_midi_checkpoints)",
     )
-    parser.add_argument("--overlap", type=float, default=0.5)
+    parser.add_argument(
+        "--overlap", type=float, default=None,
+        help="Seconds of window overlap (default: config infer.window_overlap,"
+        " 0.5 like the reference audio_to_midi.py:38)",
+    )
     parser.add_argument("--config", default=None, help="Config JSON file")
     return parser
 
@@ -58,6 +62,7 @@ def main(argv=None) -> int:
     from ..ops.midi_io import write_midi_file
 
     cfg = load_config(args.config)
+    overlap = args.overlap if args.overlap is not None else cfg.infer.window_overlap
     checkpoint_path = Path(
         args.checkpoint or Path.cwd() / cfg.infer.checkpoint_dir
     )
@@ -73,7 +78,8 @@ def main(argv=None) -> int:
         num_frames = cfg.model.output_frames(cfg.data.samples_per_window)
         if args.individual:
             loss_map = compute_testset_loss_individual(
-                params, cfg, Path(args.path), num_frames, rope, ensemble=False
+                params, cfg, Path(args.path), num_frames, rope, ensemble=False,
+                generate_visualizations=False,
             )
             for sample_name, losses in loss_map.items():
                 print(
@@ -83,7 +89,8 @@ def main(argv=None) -> int:
                 )
         else:
             loss, hit_rate, eventized_diff, _ = compute_testset_loss(
-                params, cfg, Path(args.path), num_frames, rope, ensemble=False
+                params, cfg, Path(args.path), num_frames, rope, ensemble=False,
+                generate_visualizations=False,
             )
             print(f"Validation loss: {float(loss[0])}")
             print(f"Hit rate: {float(hit_rate[0])}")
@@ -101,17 +108,16 @@ def main(argv=None) -> int:
 
         windows, window_duration = load_and_slice_full_audio(
             audio_file,
-            overlap=args.overlap,
+            overlap=overlap,
             sample_rate=cfg.data.sample_rate,
             window_duration=cfg.data.model_audio_length,
         )
         individual_probs, stitched, dpf = predict_and_stitch(
-            params, cfg, windows, window_duration, overlap=args.overlap
+            params, cfg, windows, window_duration, overlap=overlap
         )
         for i in range(individual_probs.shape[0]):
             visualize_sample(str(audio_file), windows[i], individual_probs[i])
         plot_output_probs(str(audio_file), dpf, stitched)
-        plt.show(block=False)
         from ..ops.eventize import extract_events
 
         events = extract_events(stitched)
@@ -125,7 +131,7 @@ def main(argv=None) -> int:
 
             mesh = make_mesh(1)
         stitched, duration_per_frame, events = transcribe_file(
-            params, cfg, audio_file, overlap=args.overlap, mesh=mesh
+            params, cfg, audio_file, overlap=overlap, mesh=mesh
         )
 
     print(f"Stitched probs shape: {stitched.shape}")
@@ -133,6 +139,12 @@ def main(argv=None) -> int:
     if args.output:
         print(f"Writing MIDI file to {args.output}")
         write_midi_file(events, duration_per_frame, args.output)
+    if args.visualize_audio:
+        # Block AFTER all work is done so the figures stay on screen (a
+        # non-blocking show followed by process exit displays nothing).
+        import matplotlib.pyplot as plt
+
+        plt.show(block=True)
     return 0
 
 

@@ -26,7 +26,11 @@ def main(argv=None) -> int:
         help="Expect a directory and calculate the validation loss",
     )
     parser.add_argument("--checkpoint", default=None)
-    parser.add_argument("--overlap", type=float, default=0.25)
+    parser.add_argument(
+        "--overlap", type=float, default=None,
+        help="Seconds of window overlap (default: infer.window_overlap from"
+        " --config if given, else 0.25 like the reference infer.py:339)",
+    )
     parser.add_argument("--plot", action="store_true")
     parser.add_argument("--config", default=None, help="Config JSON file")
     args = parser.parse_args(argv)
@@ -37,6 +41,12 @@ def main(argv=None) -> int:
     from ..ops.midi_io import write_midi_file
 
     cfg = load_config(args.config)
+    if args.overlap is not None:
+        overlap = args.overlap
+    elif args.config is not None:
+        overlap = cfg.infer.window_overlap
+    else:
+        overlap = 0.25
     checkpoint_path = Path(args.checkpoint or Path.cwd() / cfg.infer.checkpoint_dir)
     params, _state = load_newest_checkpoint(checkpoint_path, cfg)
 
@@ -54,7 +64,7 @@ def main(argv=None) -> int:
         return 0
 
     stitched, dpf, events = transcribe_file(
-        params, cfg, args.input_file, overlap=args.overlap
+        params, cfg, args.input_file, overlap=overlap
     )
     print(f"Frame count: {stitched.shape[0]}")
     print(f"Events: {events}")

@@ -28,7 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ensemble-size", type=int, default=None)
     p.add_argument("--num-workers", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=None)
-    p.add_argument("--precision", choices=["bf16", "f16", "f32"], default="bf16")
+    p.add_argument(
+        "--precision", choices=["bf16", "f16", "f32"], default=None,
+        help="Compute dtype (default bf16; overrides --config when given)",
+    )
     p.add_argument("--no-tensorboard", action="store_true")
     p.add_argument("--config", default=None, help="Config JSON file")
     # Multi-host (DCN) bring-up: pass all three on every host.
@@ -75,21 +78,31 @@ def main(argv=None) -> int:
         overrides["base_learning_rate"] = args.learning_rate
     if overrides:
         train_cfg = dataclasses.replace(train_cfg, **overrides)
-    if args.config is None:
+    # --precision wins over --config when given explicitly; with neither,
+    # the bf16 default applies.
+    if args.precision is not None or args.config is None:
         precision = {
             "bf16": PrecisionConfig(compute_dtype=jnp.bfloat16),
             "f16": PrecisionConfig(compute_dtype=jnp.float16),
             "f32": PrecisionConfig(compute_dtype=jnp.float32),
-        }[args.precision]
+        }[args.precision or "bf16"]
         cfg = dataclasses.replace(cfg, train=train_cfg, precision=precision)
     else:
         cfg = dataclasses.replace(cfg, train=train_cfg)
 
     num_devices = len(jax.devices())
+    # Effective minibatch mirrors loop.py: per-device size x the mesh's
+    # "data" extent (devices / ensemble), clamped to the batch size.
+    if cfg.train.ensemble_size > 1 and num_devices % cfg.train.ensemble_size == 0:
+        data_extent = num_devices // cfg.train.ensemble_size
+    else:
+        data_extent = num_devices
+    minibatch = min(
+        cfg.train.minibatch_size_per_device * data_extent, cfg.train.batch_size
+    )
     logging.info(
         "Training on %d device(s), batch %d, minibatch %d",
-        num_devices, cfg.train.batch_size,
-        cfg.train.minibatch_size_per_device * num_devices,
+        num_devices, cfg.train.batch_size, minibatch,
     )
 
     summary_writer = None if args.no_tensorboard else configure_tensorboard()
@@ -129,11 +142,12 @@ def main(argv=None) -> int:
         logging.info("Restored checkpoint at step %d", restored_step)
 
     mesh = make_mesh(cfg.train.ensemble_size)
-    params = shard_params(params, mesh)
+    ensemble = cfg.train.ensemble_size > 1
+    params = shard_params(params, mesh, ensemble=ensemble)
 
     tx, lr_schedule = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
     opt_state = jax.vmap(tx.init)(params)
-    opt_state = shard_params(opt_state, mesh)
+    opt_state = shard_params(opt_state, mesh, ensemble=ensemble)
 
     num_frames = cfg.model.output_frames(cfg.data.samples_per_window)
     data_loader = create_dataset_loader(

@@ -280,9 +280,10 @@ def transcribe_file(
         stitched_dev = stitch_probs(all_probs, overlap, duration_per_frame)
     t = _stage("model_stitch", t, sync=stitched_dev)
 
-    duration_per_frame = window_duration / cfg.model.output_frames(
-        int(window_duration * cfg.data.sample_rate)
-    )
+    # Reuse the rounded window_size from above: int() truncation could land
+    # one sample short and yield a different frame count than the windows the
+    # model actually saw, skewing every MIDI timestamp by one frame's worth.
+    duration_per_frame = window_duration / cfg.model.output_frames(window_size)
     events = extract_events(stitched_dev)  # device scan; fetches compact table
     t = _stage("eventize", t)
     stitched = np.asarray(stitched_dev, np.float32) if fetch_stitched else None

@@ -269,6 +269,14 @@ def local_self_attention(
     xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
     padded = xp.shape[1]
     num_windows = (padded - window) // stride + 1
+    if num_windows < 1:
+        # The reference's scatter/count formulation hits 0/0 = NaN here
+        # (model.py:449-465); fail loudly rather than silently attending
+        # over zero windows and degenerating to the residual identity.
+        raise ValueError(
+            f"local attention needs seq_len > window//2 (= {stride}); "
+            f"got seq_len={seq_len} with local_context_window={window}"
+        )
     num_blocks = padded // stride
     assert num_blocks == num_windows + 1
 

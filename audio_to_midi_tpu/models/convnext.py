@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ModelConfig
 from ..ops.pallas_attention import mosaic_dtype_ok
@@ -58,8 +59,15 @@ def init_block(key, channels: int, hidden_dim: int, kernel_size: int = 7) -> Par
     }
 
 
-def init_cnn(key, cfg: ModelConfig) -> tuple[Params, list[float]]:
-    """Build all 7 stages.  Returns (params, per-block sdd rates).
+def sdd_schedule(cfg: ModelConfig) -> np.ndarray:
+    """Per-block stochastic-depth rates, 0 -> cfg.sdd_rate over all blocks
+    (reference model.py:700-705's linearly ramped ``StochasticDepthDropout``
+    rates).  Single source of truth for the schedule."""
+    return np.linspace(0.0, cfg.sdd_rate, sum(cfg.depths))
+
+
+def init_cnn(key, cfg: ModelConfig) -> Params:
+    """Build all 7 stages.
 
     Blocks within a stage are homogeneous, so their params are STACKED along
     a leading (depth,) axis and executed with ``lax.scan`` — one compiled
@@ -70,9 +78,6 @@ def init_cnn(key, cfg: ModelConfig) -> tuple[Params, list[float]]:
     dims = cfg.dims
     hidden = cfg.cnn_hidden_dims
     depths = cfg.depths
-    sdd_rates = [
-        float(r) for r in jnp.linspace(0.0, cfg.sdd_rate, sum(depths))
-    ]
 
     stages = []
     keys = jax.random.split(key, len(dims))
@@ -86,7 +91,7 @@ def init_cnn(key, cfg: ModelConfig) -> tuple[Params, list[float]]:
         blocks = [init_block(bk, dims[i], hidden[i]) for bk in block_keys]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
         stages.append({"down": down, "blocks": stacked})
-    return {"stages": stages, "final_norm": nn.init_layer_norm(dims[-1])}, sdd_rates
+    return {"stages": stages, "final_norm": nn.init_layer_norm(dims[-1])}
 
 
 # ---------------------------------------------------------------------------
@@ -151,11 +156,10 @@ def cnn_forward(
 
     Each stage scans its stacked blocks under ``jax.checkpoint`` (per-block
     rematerialization, mirroring the transformer stack's policy)."""
-    import numpy as np
     from functools import partial
 
     enable_sdd = enable_dropout and cfg.enable_cnn_stochastic_depth
-    sdd_rates = np.linspace(0.0, cfg.sdd_rate, sum(cfg.depths))
+    sdd_rates = sdd_schedule(cfg)
     n_blocks_total = sum(cfg.depths)
     if enable_sdd:
         all_keys = jax.random.split(key, n_blocks_total)

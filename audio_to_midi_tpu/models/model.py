@@ -32,7 +32,7 @@ State = dict[str, Any]
 
 def init(key: jax.Array, cfg: ModelConfig) -> tuple[Params, State]:
     cnn_key, transformer_key, decoder_key = jax.random.split(key, 3)
-    cnn_params, _ = init_cnn(cnn_key, cfg)
+    cnn_params = init_cnn(cnn_key, cfg)
     params: Params = {
         "cnn": cnn_params,
         "transformer": init_transformer_stack(transformer_key, cfg),

@@ -96,15 +96,19 @@ def compute_testset_loss_individual(
     max_windows_per_batch = 64
     loss_map: dict[str, dict[str, Any]] = {}
     for name, audio, labels in batches:
-        # Long samples stream their windows in fixed-size batches (one
-        # compiled shape, padded tail) to bound device memory.
+        # Long samples stream their windows in fixed-size batches to bound
+        # device memory.  Every chunk is padded to a power-of-two bucket
+        # (<= max_windows_per_batch) so a testset of varied durations
+        # compiles at most log2(64)+1 shapes instead of one per distinct
+        # window count.
         probs_chunks, losses_chunks = [], []
         for lo in range(0, audio.shape[0], max_windows_per_batch):
             a = audio[lo : lo + max_windows_per_batch]
             l = labels[lo : lo + max_windows_per_batch]
             take = a.shape[0]
-            if audio.shape[0] > max_windows_per_batch and take < max_windows_per_batch:
-                pad = max_windows_per_batch - take
+            bucket = 1 << (take - 1).bit_length() if take > 1 else 1
+            if take < bucket:
+                pad = bucket - take
                 a = np.concatenate([a, np.zeros((pad, *a.shape[1:]), a.dtype)])
                 l = np.concatenate([l, np.zeros((pad, *l.shape[1:]), l.dtype)])
             _logits, p_c, l_c = _infer_windows(
@@ -153,10 +157,12 @@ def compute_testset_loss(
     num_model_output_frames: int,
     rope: RopeFreqs,
     ensemble: bool = True,
+    generate_visualizations: bool | None = None,
 ):
     """Averages over samples -> (loss (E,), hit_rate (E,), eventized (E,), figs)."""
     per_sample = compute_testset_loss_individual(
-        params, cfg, testset_dir, num_model_output_frames, rope, ensemble
+        params, cfg, testset_dir, num_model_output_frames, rope, ensemble,
+        generate_visualizations=generate_visualizations,
     )
     first = next(iter(per_sample.values()))
     loss = np.zeros_like(first["loss"])

@@ -277,6 +277,11 @@ def train(
                 ens = cfg.train.ensemble_size > 1
                 params = shard_params(recovery[0], mesh, ensemble=ens)
                 opt_state = shard_params(recovery[1], mesh, ensemble=ens)
+                # This step was rolled back to the snapshot, not merely
+                # skipped — clear the lagged guard so the next iteration
+                # doesn't log a second, misattributed "update was skipped"
+                # warning for the same event.
+                prev_loss, prev_valid = None, None
                 continue
             if np.all(np.asarray(out.scaled_loss) < cfg.train.loss_scale_increase_threshold):
                 grad_scale = grad_scale * 2
@@ -354,8 +359,15 @@ def train(
 
             if cfg.train.ensemble_size > 2:
                 scores = np.mean(np.stack(testset_losses), axis=0)
-                rng = np.random.default_rng(int(jax.random.bits(key)))
-                key, _ = jax.random.split(key)
+                # Single-use key discipline: split first, then seed numpy
+                # with the subkey's full raw data (64 bits of entropy, not a
+                # single uint32 draw from the still-live key).
+                key, evolve_key = jax.random.split(key)
+                if jnp.issubdtype(evolve_key.dtype, jax.dtypes.prng_key):
+                    seed_words = np.asarray(jax.random.key_data(evolve_key))
+                else:
+                    seed_words = np.asarray(evolve_key)
+                rng = np.random.default_rng([int(w) for w in seed_words.ravel()])
                 evolved = evolve_model_ensemble(params, scores, rng)
                 # Re-place with the population axis still sharded over the
                 # mesh "ensemble" dim (the rollback path at the top of the

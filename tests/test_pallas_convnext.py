@@ -27,7 +27,7 @@ CFG_STAGE = dataclasses.replace(CFG, cnn_impl="pallas_stage")
 
 
 def test_stage_kernel_forward_matches_xla():
-    params, _ = init_cnn(jax.random.PRNGKey(0), CFG)
+    params = init_cnn(jax.random.PRNGKey(0), CFG)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 1000, 2))
     a = cnn_forward(x, params, CFG_XLA)
     b = cnn_forward(x, params, CFG_STAGE)
@@ -37,7 +37,7 @@ def test_stage_kernel_forward_matches_xla():
 def test_stage_kernel_unaligned_length():
     """L not a multiple of 8 exercises the pad + valid-row masking."""
     cfg = dataclasses.replace(CFG, dims=(8, 64), depths=(1, 2))
-    params, _ = init_cnn(jax.random.PRNGKey(2), cfg)
+    params = init_cnn(jax.random.PRNGKey(2), cfg)
     x = jax.random.normal(jax.random.PRNGKey(3), (2, 1230, 2))
     a = cnn_forward(x, params, dataclasses.replace(cfg, cnn_impl="xla"))
     b = cnn_forward(x, params, dataclasses.replace(cfg, cnn_impl="pallas_stage"))
@@ -45,7 +45,7 @@ def test_stage_kernel_unaligned_length():
 
 
 def test_stage_kernel_grads_match_xla():
-    params, _ = init_cnn(jax.random.PRNGKey(4), CFG)
+    params = init_cnn(jax.random.PRNGKey(4), CFG)
     x = jax.random.normal(jax.random.PRNGKey(5), (2, 1000, 2))
 
     def loss(p, cfg):
@@ -74,7 +74,7 @@ def test_packed_small_c_stages_match_xla():
     cfg = dataclasses.replace(
         CFG, dims=(4, 8, 16, 64), depths=(2, 2, 2, 2)
     )
-    params, _ = init_cnn(jax.random.PRNGKey(8), cfg)
+    params = init_cnn(jax.random.PRNGKey(8), cfg)
     # L=8000: stem/5 -> 1600 (f=32: 50 rows), /2 -> 800 (f=16), /2 -> 400
     # (f=8), /2 -> 200 at C=64 (stage-kernel path).
     x = jax.random.normal(jax.random.PRNGKey(9), (2, 8000, 2))
@@ -85,7 +85,7 @@ def test_packed_small_c_stages_match_xla():
 
 def test_packed_grads_match_xla():
     cfg = dataclasses.replace(CFG, dims=(4, 8), depths=(2, 2))
-    params, _ = init_cnn(jax.random.PRNGKey(10), cfg)
+    params = init_cnn(jax.random.PRNGKey(10), cfg)
     x = jax.random.normal(jax.random.PRNGKey(11), (1, 4000, 2))
 
     def loss(p, c):
@@ -108,7 +108,7 @@ def test_sdd_path_falls_back():
     """With CNN stochastic depth enabled the scanned XLA path must run
     (the kernel has no RNG) — outputs differ from the no-dropout path."""
     cfg = dataclasses.replace(CFG, enable_cnn_stochastic_depth=True, sdd_rate=0.9)
-    params, _ = init_cnn(jax.random.PRNGKey(6), cfg)
+    params = init_cnn(jax.random.PRNGKey(6), cfg)
     x = jax.random.normal(jax.random.PRNGKey(7), (2, 1000, 2))
     base = cnn_forward(x, params, cfg)
     dropped = cnn_forward(

@@ -256,6 +256,61 @@ def test_ensemble_evolution():
     assert changed
 
 
+def test_evolution_crossleaf_run_stream():
+    """Crossover is ONE geometric run-stream spanning every leaf of a child:
+    the first run copies parent_a and a run crosses leaf boundaries
+    (reference train.py:494-540 keeps recombination_steps/current_parent_idx
+    as nonlocals shared by all recombine_leaf calls)."""
+
+    class ScriptedRng:
+        """Deterministic stand-in: geometric() pops scripted run lengths."""
+
+        def __init__(self, runs):
+            self.runs = list(runs)
+
+        def geometric(self, _rate):
+            return self.runs.pop(0) if self.runs else 10**9
+
+        def choice(self, n, size, replace):
+            return np.array([0, 1])
+
+        def random(self, n):
+            return np.ones(n)  # never below MUTATION_RATE -> no mutation
+
+        def standard_normal(self, n):
+            return np.zeros(n)
+
+    params, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), SMALL_MODEL, 4)
+    host = jax.tree.map(np.asarray, params)
+    leaves = [
+        l for l in jax.tree.leaves(host) if np.issubdtype(l.dtype, np.floating)
+    ]
+    total = sum(l[0].size for l in leaves)
+    first_leaf = leaves[0][0].size
+    # First run ends INSIDE the second leaf; second run covers the rest of
+    # child 3; child 1 is a single parent_a run.
+    cut = first_leaf + max(1, leaves[1][0].size // 2)
+    rng = ScriptedRng([cut, total - cut, total])
+    scores = np.array([1.0, 3.0, 0.5, 2.0])  # winners [2, 0]; losers [3, 1]
+    evolved = evolve_model_ensemble(params, scores, rng)
+
+    def flat(tree, member):
+        return np.concatenate(
+            [
+                np.asarray(l[member]).ravel()
+                for l in jax.tree.leaves(tree)
+                if np.issubdtype(np.asarray(l).dtype, np.floating)
+            ]
+        )
+
+    pa, pb = flat(host, 2), flat(host, 0)  # parent_a=2, parent_b=0
+    child3 = flat(evolved, 3)
+    np.testing.assert_array_equal(child3[:cut], pa[:cut])  # spans leaf 1->2
+    np.testing.assert_array_equal(child3[cut:], pb[cut:])
+    assert cut > first_leaf  # the boundary really falls inside leaf 2
+    np.testing.assert_array_equal(flat(evolved, 1), pa)  # one full-run child
+
+
 def test_evolution_skipped_for_small_population():
     params, _ = model_lib.init_ensemble(jax.random.PRNGKey(0), SMALL_MODEL, 2)
     out = evolve_model_ensemble(params, np.array([1.0, 2.0]), np.random.default_rng(0))
