@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 ENSEMBLE_AXIS = "ensemble"
+MODEL_AXIS = "model"
 
 
 def initialize_multihost(
@@ -47,16 +48,32 @@ def initialize_multihost(
 
 
 def make_mesh(
-    ensemble_size: int = 1, devices: Optional[Sequence[jax.Device]] = None
+    ensemble_size: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+    model_size: int = 1,
 ) -> Mesh:
+    """("ensemble", "data"[, "model"]) mesh.
+
+    ``model_size`` > 1 appends a tensor-parallel axis (innermost, so TP
+    collectives ride the fastest ICI dimension); params then shard over it
+    via :mod:`.tp`.  Axis sizes that do not divide the device count fall
+    back to 1 (pure DP) rather than erroring.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if ensemble_size > 1 and n % ensemble_size == 0:
+    if model_size > 1 and n % model_size == 0:
+        axes: tuple = (ENSEMBLE_AXIS, DATA_AXIS, MODEL_AXIS)
+        n_groups = n // model_size
+        e = ensemble_size if ensemble_size > 1 and n_groups % ensemble_size == 0 else 1
+        shape: tuple = (e, n_groups // e, model_size)
+    elif ensemble_size > 1 and n % ensemble_size == 0:
+        axes = (ENSEMBLE_AXIS, DATA_AXIS)
         shape = (ensemble_size, n // ensemble_size)
     else:
+        axes = (ENSEMBLE_AXIS, DATA_AXIS)
         shape = (1, n)
     mesh_devices = np.asarray(devices).reshape(shape)
-    return Mesh(mesh_devices, (ENSEMBLE_AXIS, DATA_AXIS))
+    return Mesh(mesh_devices, axes)
 
 
 def batch_spec(mesh: Mesh, leading_axes: int = 0) -> NamedSharding:

@@ -1,0 +1,117 @@
+"""Tensor (model) parallelism: Megatron-style sharding over a "model" axis.
+
+The reference scales only by data parallelism (replicated params,
+train.py:833-842); population members are its only other axis.  On TPU the
+idiomatic way to go past DP is GSPMD tensor parallelism: *place* the
+transformer weights with NamedShardings that split attention heads and FFN
+hidden units over the mesh's "model" axis and let jit propagate the layout
+through the unchanged forward/backward — XLA inserts exactly the classic
+Megatron collectives (one all-reduce after the attention out-projection and
+one after the FFN out-projection, riding ICI) without any model-code change.
+
+Sharding rules (everything else replicated over "model"):
+
+  * ``attention/{q_up,k_up,v_up}/w`` — (.., D|ckv, H*hd): split the OUTPUT
+    (head) dim.  The RoPE halves-layout permutation
+    (rope.permute_qk_weight_for_rope) permutes lanes WITHIN each head, so
+    head blocks stay contiguous and a per-head split is layout-safe; heads
+    are kept whole (require H % model_size == 0).
+  * ``attention/out/w`` — (.., H*hd, D): split the INPUT dim; the contraction
+    over the sharded dim is the layer's all-reduce point.
+  * ``ff/in_proj/{w,b}`` — (.., D, 2*inter): split the OUTPUT dim.  The GLU
+    halves split (transformer.feed_forward) happens at column ``inter``;
+    GSPMD reshards the halves for the elementwise gate as needed.
+  * ``ff/out_proj/w`` — (.., inter, D): split the INPUT dim (all-reduce point).
+  * ``kv_down`` (the MLA compression, ckv = 64 lanes) and all norms/decoder/
+    CNN params are replicated — ckv is far below a useful shard size.
+
+Leaves may carry leading (ensemble,) and/or (num_layers,) stacking axes;
+specs are built per-leaf from the trailing dims, with axis 0 optionally
+sharded over "ensemble".  Anything that does not divide evenly falls back to
+replicated (a layout choice can never change semantics under GSPMD, but we
+never create padded shards).
+
+Composes with the existing axes into ("ensemble", "data", "model") meshes:
+params shard over ensemble x model and replicate over data; batches shard
+over data; gradients all-reduce over data — all inside one jit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.tree_util import DictKey
+
+from .mesh import ENSEMBLE_AXIS, MODEL_AXIS
+
+# (enclosing module, leaf param, leaf array) -> which trailing dim to split:
+# "col" = last axis (projection outputs / biases), "row" = second-to-last
+# (projection inputs; the contraction that becomes the all-reduce).
+_COL = {("q_up", "w"), ("k_up", "w"), ("v_up", "w"), ("in_proj", "w"), ("in_proj", "b")}
+_ROW = {("out", "w"), ("out_proj", "w")}
+
+
+def _dict_names(path) -> Tuple[str, ...]:
+    return tuple(k.key for k in path if isinstance(k, DictKey))
+
+
+def _tp_dim(names: Tuple[str, ...]) -> Optional[str]:
+    if len(names) < 2:
+        return None
+    tail = names[-2:]
+    in_attention = "attention" in names
+    in_ff = "ff" in names
+    if in_attention and tail in (("q_up", "w"), ("k_up", "w"), ("v_up", "w")):
+        return "col"
+    if in_attention and tail == ("out", "w"):
+        return "row"
+    if in_ff and tail in (("in_proj", "w"), ("in_proj", "b")):
+        return "col"
+    if in_ff and tail == ("out_proj", "w"):
+        return "row"
+    return None
+
+
+def _leaf_spec(path, leaf, msize: int, num_heads: int, ensemble: bool) -> P:
+    dims = [None] * leaf.ndim
+    if ensemble and leaf.ndim > 0:
+        dims[0] = ENSEMBLE_AXIS
+    kind = _tp_dim(_dict_names(path))
+    names = _dict_names(path)
+    if kind == "col" and leaf.ndim >= (2 if names[-1] == "w" else 1):
+        # Head projections: keep heads whole so each shard holds complete
+        # contiguous (head, hd) blocks (halves-layout RoPE permutes within a
+        # head only).
+        head_proj = names[-2] in ("q_up", "k_up", "v_up")
+        if leaf.shape[-1] % msize == 0 and not (head_proj and num_heads % msize):
+            dims[-1] = MODEL_AXIS
+    elif kind == "row" and leaf.ndim >= 2:
+        if leaf.shape[-2] % msize == 0:
+            dims[-2] = MODEL_AXIS
+    return P(*dims)
+
+
+def tp_spec_tree(params, mesh: Mesh, *, num_heads: int, ensemble: bool = False):
+    """Per-leaf NamedShardings for a param (or optimizer-state) pytree.
+
+    Works on any tree whose leaves are reached through the param dict names
+    (optimizer moments mirror the param tree, so Adam's mu/nu shard exactly
+    like the weights they track); leaves with no TP rule — counts, norms,
+    CNN/decoder weights — replicate over "model".
+    """
+    if MODEL_AXIS not in mesh.shape:
+        raise ValueError(f'mesh has no "{MODEL_AXIS}" axis: {dict(mesh.shape)}')
+    msize = mesh.shape[MODEL_AXIS]
+
+    def spec(path, leaf):
+        return NamedSharding(mesh, _leaf_spec(path, leaf, msize, num_heads, ensemble))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params_tp(params, mesh: Mesh, *, num_heads: int, ensemble: bool = False):
+    """Place a pytree with Megatron TP (+ optional ensemble axis-0) sharding."""
+    specs = tp_spec_tree(params, mesh, num_heads=num_heads, ensemble=ensemble)
+    return jax.tree.map(jax.device_put, params, specs)
