@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
         " 0.5 like the reference audio_to_midi.py:38)",
     )
     parser.add_argument("--config", default=None, help="Config JSON file")
+    parser.add_argument(
+        "--stream", action="store_true",
+        help="Chunked (streaming) transcription: ship/infer/stitch in window "
+        "chunks — bounded device memory for hour-long audio, transfer "
+        "overlapped with compute, same MIDI as batch mode",
+    )
     return parser
 
 
@@ -123,16 +129,23 @@ def main(argv=None) -> int:
         events = extract_events(stitched)
         duration_per_frame = dpf
     else:
-        # Multi-chip serving host: shard the window batches over all chips
-        # (params replicated); identical output to single-chip.
-        mesh = None
-        if len(jax.devices()) > 1:
-            from ..parallel.mesh import make_mesh
+        if args.stream:
+            from ..infer import transcribe_file_streaming
 
-            mesh = make_mesh(1)
-        stitched, duration_per_frame, events = transcribe_file(
-            params, cfg, audio_file, overlap=overlap, mesh=mesh
-        )
+            stitched, duration_per_frame, events = transcribe_file_streaming(
+                params, cfg, audio_file, overlap=overlap
+            )
+        else:
+            # Multi-chip serving host: shard the window batches over all
+            # chips (params replicated); identical output to single-chip.
+            mesh = None
+            if len(jax.devices()) > 1:
+                from ..parallel.mesh import make_mesh
+
+                mesh = make_mesh(1)
+            stitched, duration_per_frame, events = transcribe_file(
+                params, cfg, audio_file, overlap=overlap, mesh=mesh
+            )
 
     print(f"Stitched probs shape: {stitched.shape}")
     print(f"Extracted {len(events)} events")

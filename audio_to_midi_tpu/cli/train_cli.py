@@ -55,7 +55,7 @@ def main(argv=None) -> int:
     )
     from ..metrics import configure_tensorboard
     from ..models import model as model_lib
-    from ..parallel.mesh import make_mesh, shard_params
+    from ..parallel.mesh import make_mesh
     from ..data.loader import create_dataset_loader
     from ..train import (
         checkpoint as ckpt,
@@ -141,13 +141,18 @@ def main(argv=None) -> int:
         params, state, restored_step = restored
         logging.info("Restored checkpoint at step %d", restored_step)
 
-    mesh = make_mesh(cfg.train.ensemble_size)
+    mesh = make_mesh(
+        cfg.train.ensemble_size, model_size=cfg.train.model_parallel_size
+    )
+    from ..parallel.mesh import make_param_placer
+
     ensemble = cfg.train.ensemble_size > 1
-    params = shard_params(params, mesh, ensemble=ensemble)
+    place = make_param_placer(mesh, cfg.model.num_transformer_heads)
+    params = place(params, ensemble=ensemble)
 
     tx, lr_schedule = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
     opt_state = jax.vmap(tx.init)(params)
-    opt_state = shard_params(opt_state, mesh, ensemble=ensemble)
+    opt_state = place(opt_state, ensemble=ensemble)
 
     num_frames = cfg.model.output_frames(cfg.data.samples_per_window)
     data_loader = create_dataset_loader(

@@ -97,6 +97,23 @@ class ModelConfig:
     # keeps the fast kernels; unsupported geometries fall back automatically.
     attention_impl: str = "pallas"
 
+    # Rematerialization of the scanned block bodies (CNN stages /
+    # transformer layers).  The reference always remats
+    # (jax.checkpoint(policy=dots_with_no_batch_dims_saveable) on both scan
+    # bodies, model.py:656-668) — the right call for its GPU memory budget.
+    # On TPU the per-block activations are tiny (minibatch 8: ~1 MB per
+    # ConvNeXt block) and remat re-spends ~1x the forward FLOPs in the
+    # backward, so it is a measured knob: the train-step accounting
+    # (tools/train_accounting.py, PERF.md round 4) decides the default.
+    cnn_remat: bool = True
+    transformer_remat: bool = True
+    # lax.scan unroll factor for the transformer layer stack (1 = the
+    # reference's one-compiled-layer scan, model.py:656-668).  At seq 250 /
+    # minibatch 8 the per-layer kernels are tiny and the scan's carry
+    # round-trips dominate; unrolling widens XLA's fusion scope across
+    # sublayers.  Measured knob (TRAINACCT round 4).
+    transformer_scan_unroll: int = 1
+
     # "pallas": small-C early stages (C < 64) run in the packed
     # space-to-depth formulation (models/convnext_packed.py) where every op
     # is a full-lane matmul — measured 3.2x faster for stage 1 on v5e;
@@ -227,6 +244,13 @@ class TrainConfig:
     adam_eps: float = 1e-3                 # reference train.py:692 — intentional
     global_norm_clip: float = 1.0
     ensemble_size: int = 1
+    # Tensor (model) parallel degree: >1 adds a "model" mesh axis and places
+    # Megatron TP shardings on the transformer projections (parallel/tp.py).
+    # Must divide the device count (and num_transformer_heads for the head
+    # projections to shard).  TP runs the attention einsum formulation
+    # (attention_impl="xla") so GSPMD can partition it; the Pallas kernels
+    # are single-chip programs.  The reference has no TP at all (SURVEY §2.6).
+    model_parallel_size: int = 1
     checkpoint_every: int = 20
     checkpoints_to_keep: int = 3
     testset_loss_every: int = 20
@@ -235,6 +259,15 @@ class TrainConfig:
     recovery_snapshot_every: int = 100     # NaN-rollback snapshot (train.py:350)
     loss_scale_increase_threshold: float = 10_000.0  # train.py:379
     seed: int = 1234
+    # Run the AdamW chain over ONE raveled parameter vector instead of ~150
+    # per-leaf kernels (train/optim.py _fused_flat) — identical math
+    # (optax's own ops, element-for-element).  Isolated microbench: 5.8 ms
+    # vs 9.1 per-leaf; IN the real train step it measured ~3 ms SLOWER
+    # (73.9 vs ~70.8 ms/step, TRAINACCT round 4): the ravel/unravel
+    # concatenate+slice barrier serializes where per-leaf updates overlap
+    # the scan epilogue and alias donated buffers.  Kept as a measured
+    # option; default off.
+    fused_flat_optimizer: bool = False
     # Custom init surgery (reference train.py:573-644 `init_model`): N(0,0.2)
     # attention projections & conv weights, N(0,0.01) conv biases.  The
     # reference keeps the call commented out (train.py:792) — off by default.
@@ -260,6 +293,11 @@ class TrainConfig:
     # sample freshness (epoch-style reuse) for steps/s (TRAINBENCH r03:
     # full-rate refresh 4.5 steps/s vs 9.4 with refresh off; device step 10.5).
     input_ring_refresh_period: int = 1
+    # Warn (never fail) when the ring's reuse factor — windows sampled per
+    # window refreshed over a print_every interval — exceeds this: the feed
+    # is starved and training re-sees resident windows epoch-style.  The
+    # factor is also a train/ring_reuse_factor tensorboard scalar.
+    input_ring_reuse_warn_factor: float = 64.0
 
 
 @dataclass(frozen=True)

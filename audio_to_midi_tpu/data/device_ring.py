@@ -85,8 +85,12 @@ class _Feeder:
 
     _DONE = object()
 
-    def __init__(self, source: Iterable, depth: int = 2):
+    def __init__(self, source: Iterable, depth: int = 2, to_device: bool = True):
+        # ``to_device=False`` keeps chunks as host numpy (multi-host mode:
+        # the ring assembles each host's LOCAL shard into a global sharded
+        # array itself, so a premature single-device put would be wasted).
         self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._to_device = to_device
         self._thread = threading.Thread(target=self._run, args=(source,), daemon=True)
         self._done = False
         self._error: Optional[BaseException] = None
@@ -123,12 +127,16 @@ class _Feeder:
                     )
                     continue
                 nonfinite_streak = 0
-                audio_dev = jax.device_put(audio_np)
-                events_dev = jax.device_put(events_np)
-                # Block in THIS thread so queue depth reflects data actually
-                # on device, and the main thread never waits on a transfer.
-                jax.block_until_ready((audio_dev, events_dev))
-                self._q.put((audio_dev, events_dev))
+                if self._to_device:
+                    audio_dev = jax.device_put(audio_np)
+                    events_dev = jax.device_put(events_np)
+                    # Block in THIS thread so queue depth reflects data
+                    # actually on device, and the main thread never waits on
+                    # a transfer.
+                    jax.block_until_ready((audio_dev, events_dev))
+                    self._q.put((audio_dev, events_dev))
+                else:
+                    self._q.put((audio_np, events_np))
         except BaseException as e:  # propagate to the training thread
             self._error = e
         finally:
@@ -177,10 +185,32 @@ class DeviceInputRing:
         audio_shape: Optional[tuple[int, ...]] = None,
         label_shape: Optional[tuple[int, ...]] = None,
         dtype=jnp.float16,
+        mesh=None,
     ):
+        """``mesh`` switches the ring to multi-host (global-SPMD) mode: the
+        pool lives REPLICATED on the mesh (sampling's random gather stays
+        device-local), every process contributes its LOCAL shard of each
+        ``chunk_windows``-window feed chunk (assembled with
+        ``make_array_from_process_local_data``, sharded over "data"), and
+        writes/samples run as multi-controller jit programs — so they MUST
+        stay in lockstep across processes (use :meth:`pull_lockstep`, never
+        :meth:`pull`, when a mesh is set)."""
         self.chunk = chunk_windows
         self.capacity = -(-capacity // chunk_windows) * chunk_windows
         self.dtype = dtype
+        self._mesh = mesh
+        self._samplers: dict = {}
+        if mesh is not None:
+            import jax as _jax
+
+            self._world = _jax.process_count()
+            if chunk_windows % self._world:
+                raise ValueError(
+                    f"chunk of {chunk_windows} windows does not divide over "
+                    f"{self._world} processes"
+                )
+        else:
+            self._world = 1
         # Window shapes come from the first feed chunk when not given — the
         # feed is the source of truth (tests/tools feed shapes that differ
         # from the config's production geometry).
@@ -197,20 +227,59 @@ class DeviceInputRing:
         self._write = 0
         self.filled = 0
         self.pushed_windows = 0
+        self.sampled_windows = 0
+        # Interval counters for take_stats() (reuse telemetry).
+        self._interval_pushed = 0
+        self._interval_sampled = 0
+
+    def _to_global_chunk(self, audio_np: np.ndarray, labels_np: np.ndarray):
+        """Assemble per-process LOCAL chunk shards into global arrays sharded
+        over "data" (dim 0) — each host only uploads its own windows."""
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        spec = NamedSharding(self._mesh, P(DATA_AXIS))
+        return (
+            _jax.make_array_from_process_local_data(spec, np.asarray(audio_np)),
+            _jax.make_array_from_process_local_data(spec, np.asarray(labels_np)),
+        )
+
+    def _alloc(self, audio_shape, label_shape) -> None:
+        self._audio = jnp.zeros((self.capacity, *audio_shape), self.dtype)
+        self._labels = jnp.zeros((self.capacity, *label_shape), self.dtype)
+        if self._mesh is not None:
+            # Replicate the pool over the mesh: the per-step random gather
+            # stays device-local; only the (rare) refresh chunk crosses links.
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self._mesh, P())
+            self._audio = _jax.device_put(self._audio, rep)
+            self._labels = _jax.device_put(self._labels, rep)
 
     def push(self, audio_np: np.ndarray, labels_np: np.ndarray) -> None:
-        """Dispatch an async transfer + ring write of one feed chunk."""
-        w = audio_np.shape[0]
+        """Dispatch an async transfer + ring write of one feed chunk.
+
+        In mesh (multi-host) mode ``audio_np``/``labels_np`` are this
+        process's LOCAL shard (chunk/world windows) and every process must
+        call push in lockstep."""
+        w = audio_np.shape[0] * self._world
         assert w == self.chunk, (w, self.chunk)
         if self._audio is None:
-            self._audio = jnp.zeros((self.capacity, *audio_np.shape[1:]), self.dtype)
-            self._labels = jnp.zeros((self.capacity, *labels_np.shape[1:]), self.dtype)
+            self._alloc(audio_np.shape[1:], labels_np.shape[1:])
         pos = jnp.int32(self._write)
-        self._audio = _ring_write(self._audio, jnp.asarray(audio_np), pos)
-        self._labels = _ring_write(self._labels, jnp.asarray(labels_np), pos)
+        if self._mesh is not None:
+            audio_dev, labels_dev = self._to_global_chunk(audio_np, labels_np)
+        else:
+            audio_dev, labels_dev = jnp.asarray(audio_np), jnp.asarray(labels_np)
+        self._audio = _ring_write(self._audio, audio_dev, pos)
+        self._labels = _ring_write(self._labels, labels_dev, pos)
         self._write = (self._write + w) % self.capacity
         self.filled = min(self.filled + w, self.capacity)
         self.pushed_windows += w
+        self._interval_pushed += w
 
     def pull(self, feeder: _Feeder, *, min_fill: int, max_chunks: int | None = None) -> None:
         """Drain whatever the feeder has ready (non-blocking); block only
@@ -273,7 +342,84 @@ class DeviceInputRing:
                     audio_np[lo : lo + self.chunk], labels_np[lo : lo + self.chunk]
                 )
 
+    def pull_lockstep(
+        self, feeder: _Feeder, *, min_fill: int, refresh_chunks: int
+    ) -> None:
+        """Deterministic multi-host refresh: every process takes EXACTLY the
+        same number of chunks per call (blocking), so ring state and the
+        global write/sample programs stay in lockstep across processes.
+
+        The opportunistic :meth:`pull` (drain whatever is ready) is
+        host-timing-dependent — two hosts would diverge on how many chunks
+        landed and every subsequent collective would deadlock.  Here the
+        only discipline is: block until ``min_fill`` during the initial
+        fill, then block for ``refresh_chunks`` whole chunks per call.
+        Multi-host feeders MUST produce the same number of chunks on every
+        process (true by construction for evenly-partitioned datasets and
+        for infinite production loaders) — exhaustion must be simultaneous."""
+        local_chunk = self.chunk // self._world
+        target = refresh_chunks
+        while self.filled < min_fill or target > 0:
+            item = feeder.get(block=True)
+            if item is None:
+                # Exhausted (or 600 s timeout -> loop-wide stall handling is
+                # the single-host pull's job; multi-host favours fail-fast).
+                if feeder.exhausted:
+                    if self.filled == 0:
+                        raise RuntimeError("data source exhausted before any batch")
+                    return
+                raise RuntimeError(
+                    "multi-host training input feed produced nothing for "
+                    f"~600 s ({self.filled}/{min_fill} windows) — stuck "
+                    "loader/decoder?"
+                )
+            audio_np, labels_np = item
+            if audio_np.shape[0] < local_chunk:
+                raise ValueError(
+                    f"feed chunks carry {audio_np.shape[0]} local windows but "
+                    f"the multi-host ring updates in local chunks of "
+                    f"{local_chunk}: the per-process loader batch must be >= "
+                    "batch_size // process_count"
+                )
+            pushed = False
+            for lo in range(0, audio_np.shape[0] - local_chunk + 1, local_chunk):
+                self.push(
+                    audio_np[lo : lo + local_chunk],
+                    labels_np[lo : lo + local_chunk],
+                )
+                pushed = True
+            if pushed:
+                target -= 1
+
+    def _sampler_for(self, batch: int, minibatch: int, settings):
+        """Mesh mode: a cached jit whose outputs are sharded (None, "data")
+        — exactly the train step's in_shardings, so no implicit reshard (and
+        no committed-sharding mismatch) between sampling and the step."""
+        cache_key = (batch, minibatch, settings)
+        fn = self._samplers.get(cache_key)
+        if fn is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            out_spec = NamedSharding(self._mesh, P(None, DATA_AXIS))
+            fn = jax.jit(
+                partial(
+                    _sample_batch.__wrapped__,
+                    batch=batch, minibatch=minibatch, settings=settings,
+                ),
+                out_shardings=(out_spec, out_spec),
+            )
+            self._samplers[cache_key] = fn
+        return fn
+
     def sample(self, key: jax.Array, batch: int, minibatch: int, settings):
+        self.sampled_windows += batch
+        self._interval_sampled += batch
+        if self._mesh is not None:
+            return self._sampler_for(batch, minibatch, settings)(
+                self._audio, self._labels, jnp.int32(self.filled), key
+            )
         return _sample_batch(
             self._audio,
             self._labels,
@@ -283,6 +429,48 @@ class DeviceInputRing:
             minibatch,
             settings,
         )
+
+    def take_stats(self, reuse_warn_factor: Optional[float] = None) -> dict:
+        """Reuse/refresh telemetry since the previous call (and lifetime).
+
+        ``reuse_factor`` is windows *sampled* per window *refreshed* over the
+        interval — 1.0 means every consumed window was freshly fed (the
+        reference's per-step feed shape); large values mean epoch-style slot
+        reuse because the host/link cannot keep up with the device
+        (data/device_ring.py module docstring).  Reuse is a designed-in
+        degradation, not a failure — but it must be VISIBLE: past
+        ``reuse_warn_factor`` a warning is emitted (never an error; stall
+        *failure* is detected separately in :meth:`pull`)."""
+        interval_pushed = self._interval_pushed
+        interval_sampled = self._interval_sampled
+        self._interval_pushed = 0
+        self._interval_sampled = 0
+        reuse = interval_sampled / max(interval_pushed, 1)
+        stats = {
+            "filled": self.filled,
+            "capacity": self.capacity,
+            "pushed_windows": self.pushed_windows,
+            "sampled_windows": self.sampled_windows,
+            "interval_refreshed_windows": interval_pushed,
+            "interval_sampled_windows": interval_sampled,
+            "reuse_factor": reuse,
+        }
+        if (
+            reuse_warn_factor is not None
+            and interval_sampled > 0
+            and reuse > reuse_warn_factor
+        ):
+            import warnings
+
+            warnings.warn(
+                f"input ring reuse factor {reuse:.1f} exceeds "
+                f"{reuse_warn_factor:.1f} (sampled {interval_sampled} windows "
+                f"while refreshing {interval_pushed}): the feed is starved and "
+                "training is re-seeing resident windows epoch-style — raise "
+                "loader workers/link bandwidth or accept the sample reuse",
+                stacklevel=2,
+            )
+        return stats
 
 
 def ring_feed(

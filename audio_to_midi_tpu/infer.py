@@ -289,3 +289,136 @@ def transcribe_file(
     stitched = np.asarray(stitched_dev, np.float32) if fetch_stitched else None
     _stage("fetch", t)
     return stitched, duration_per_frame, events
+
+
+def transcribe_file_streaming(
+    params,
+    cfg: Config,
+    input_file: str | Path,
+    overlap: float = 0.5,
+    rope: Optional[RopeFreqs] = None,
+    chunk_windows: int = 32,
+    stage_times: Optional[dict] = None,
+    fetch_stitched: bool = True,
+    on_segment=None,
+):
+    """Chunked (streaming) transcription: decode once, then ship / infer /
+    stitch in fixed-size window chunks — the transfer of chunk k+1 overlaps
+    the model on chunk k, device memory is bounded by one chunk regardless of
+    file length, and the first stitched segment (and first FINAL events) are
+    available after one chunk instead of after the whole file.
+
+    Output matches :func:`transcribe_file`: windows are cut at the same
+    global sample offsets and chunked stitching uses the global
+    float-accumulated base plan with one context window per chunk
+    (ops/stitch.stitch_chunk) — bitwise identical at integral overlap frames
+    (the production 0.5 s / 0.25 s overlaps at 20 ms frames; within 1 ulp of
+    XLA FMA contraction otherwise), and the extracted MIDI events are
+    identical.  Returns (stitched, duration_per_frame, events) like the
+    batch path.
+
+    ``on_segment(w0, seg)``: optional callback with each chunk's owned
+    stitched rows (device array), for true streaming consumers.
+    ``stage_times``: records decode/transfer/segment timings plus
+    ``first_segment_s`` and ``first_event_s`` (time until the first stitched
+    rows / the first FINALIZED event — one whose lookahead and release lie
+    safely inside the emitted prefix — are known).
+    """
+    import math as _math
+    import time as _time
+
+    from .data.loader import load_full_audio_f16
+    from .ops.eventize import extract_events
+    from .ops.stitch import stitch_chunk, stitch_chunk_plan
+
+    t_start = _time.perf_counter()
+    window_duration = cfg.data.model_audio_length
+    sample_rate = cfg.data.sample_rate
+    window_size = round(window_duration * sample_rate)
+    overlap_samples = round(overlap * sample_rate)
+    step = window_size - overlap_samples
+    fpw = cfg.model.output_frames(window_size)
+    duration_per_frame = window_duration / fpw
+
+    raw = load_full_audio_f16(input_file, sample_rate)  # (2, N) f16 host
+    if stage_times is not None:
+        stage_times["decode"] = _time.perf_counter() - t_start
+    n = raw.shape[1]
+    n_windows = max(1, _math.ceil((n - overlap_samples) / step))
+
+    try:
+        d_all, own_all, output_frames, ov = stitch_chunk_plan(
+            n_windows, fpw, overlap, duration_per_frame
+        )
+    except ValueError:
+        # Pairwise precondition violated (overlap >= ~half window): only the
+        # sequential batch stitcher reproduces the chained blends.
+        log.info("streaming stitch unavailable for overlap %s; using batch path", overlap)
+        return transcribe_file(
+            params, cfg, input_file, overlap=overlap, rope=rope,
+            stage_times=stage_times, fetch_stitched=fetch_stitched,
+        )
+
+    rope = rope if rope is not None else model_lib.make_rope(cfg.model)
+    param_dtype = jax.tree.leaves(params)[0].dtype
+    chunk_len = (chunk_windows - 1) * step + window_size  # samples per chunk
+
+    # Ship chunk k+1 before computing on chunk k: device_put is async, so the
+    # DMA overlaps the model (double-buffered dispatch).
+    def ship(w0: int):
+        lo = w0 * step
+        wc = min(chunk_windows, n_windows - w0)
+        sl = np.asarray(raw[:, lo : lo + chunk_len])
+        if sl.shape[1] < chunk_len:  # final chunk: same zero-pad as batch
+            sl = np.pad(sl, ((0, 0), (0, chunk_len - sl.shape[1])))
+        return jnp.asarray(sl), wc
+
+    segs = []
+    prev_window = jnp.zeros((fpw, cfg.model.output_vocab), jnp.float32)
+    pending = ship(0)
+    first_segment_s = None
+    first_event_s = None
+    emitted = 0
+    with _parity_precision(param_dtype):
+        for w0 in range(0, n_windows, chunk_windows):
+            chunk_dev, wc = pending
+            if w0 + chunk_windows < n_windows:
+                pending = ship(w0 + chunk_windows)  # overlap next transfer
+            windows_dev = _make_windows_jit(
+                chunk_dev, window_size=window_size, overlap_samples=overlap_samples
+            ).astype(param_dtype)
+            probs = _predict_windows(params, cfg.model, windows_dev, rope)
+            probs = probs[:wc].astype(jnp.float32)
+            d = tuple(int(x) for x in d_all[w0 : w0 + wc])
+            own = tuple(int(x) for x in own_all[w0 : w0 + wc])
+            seg = stitch_chunk(
+                prev_window, probs, d=d, own=own, ov=ov, first=(w0 == 0)
+            )
+            prev_window = probs[-1]
+            segs.append(seg)
+            emitted += seg.shape[0]
+            if on_segment is not None:
+                on_segment(w0, seg)
+            if stage_times is not None and first_segment_s is None:
+                jax.block_until_ready(seg)
+                first_segment_s = _time.perf_counter() - t_start
+                # First FINALIZED events: eventize the prefix and keep events
+                # whose release + lookahead lie >= 16 frames inside it
+                # (10-frame peak lookahead + 6-frame re-activation average,
+                # common.rs:47-144).
+                ev = extract_events(seg)
+                safe = [e for e in ev if e[0] + e[2] + 16 <= seg.shape[0]]
+                if safe:
+                    first_event_s = _time.perf_counter() - t_start
+    stitched_dev = jnp.concatenate(segs, axis=0)
+    if stitched_dev.shape[0] < output_frames:  # zero tail the batch scatter leaves
+        stitched_dev = jnp.pad(
+            stitched_dev, ((0, output_frames - stitched_dev.shape[0]), (0, 0))
+        )
+    events = extract_events(stitched_dev)
+    if stage_times is not None:
+        stage_times["first_segment_s"] = first_segment_s
+        stage_times["first_event_s"] = first_event_s
+        stage_times["total_s"] = _time.perf_counter() - t_start
+    stitched = np.asarray(stitched_dev, np.float32) if fetch_stitched else None
+    return stitched, duration_per_frame, events

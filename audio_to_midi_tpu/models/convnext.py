@@ -227,10 +227,6 @@ def cnn_forward(
         )
         stage_keys = all_keys[depth_count : depth_count + depth_i]
 
-        @partial(
-            jax.checkpoint,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-        )
         def body(carry, scanned):
             bp, rate, bkey = scanned
             out = block(
@@ -241,6 +237,12 @@ def cnn_forward(
                 key=bkey if enable_sdd else None,
             )
             return out, None
+
+        if cfg.cnn_remat:
+            body = partial(
+                jax.checkpoint,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )(body)
 
         h, _ = jax.lax.scan(body, h, (stage["blocks"], stage_rates, stage_keys))
         depth_count += depth_i

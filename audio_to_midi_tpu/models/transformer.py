@@ -349,10 +349,6 @@ def transformer_stack(
                 )
                 return h + jnp.where(row_valid, r, jnp.zeros_like(r))
 
-            @partial(
-                jax.checkpoint,
-                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            )
             def fused_body(h, p):
                 h = _fused_local_sub(h, p["local"], rope, cfg, s, pad_l)
                 h = ffn_sub(h, p["local"])
@@ -360,13 +356,23 @@ def transformer_stack(
                 h = ffn_sub(h, p["global"])
                 return h, None
 
-            out, _ = jax.lax.scan(fused_body, xp, stacked)
+            if cfg.transformer_remat:
+                fused_body = partial(
+                    jax.checkpoint,
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                )(fused_body)
+
+            out, _ = jax.lax.scan(
+                fused_body, xp, stacked, unroll=cfg.transformer_scan_unroll
+            )
             return out[:, pad_l : pad_l + s]
 
         def pair_body(h, p):
             return _fused_pair(h, p, rope, cfg, s, pad_l), None
 
-        out, _ = jax.lax.scan(pair_body, xp, stacked)
+        out, _ = jax.lax.scan(
+            pair_body, xp, stacked, unroll=cfg.transformer_scan_unroll
+        )
         return out[:, pad_l : pad_l + s]
     if key is not None:
         layer_keys = jax.random.split(key, n)
@@ -375,15 +381,19 @@ def transformer_stack(
         # enable_dropout is a trace-time constant.
         layer_keys = jnp.zeros((n, 2), dtype=jnp.uint32)
 
-    @partial(
-        jax.checkpoint,
-        policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-    )
     def body(h, layer):
         p, k = layer
         k = k if key is not None else None
         h = alternating_layer(h, p, rope, cfg, key=k, enable_dropout=enable_dropout)
         return h, None
 
-    out, _ = jax.lax.scan(body, x, (stacked, layer_keys))
+    if cfg.transformer_remat:
+        body = partial(
+            jax.checkpoint,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )(body)
+
+    out, _ = jax.lax.scan(
+        body, x, (stacked, layer_keys), unroll=cfg.transformer_scan_unroll
+    )
     return out

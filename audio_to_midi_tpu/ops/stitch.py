@@ -139,3 +139,79 @@ def stitch_probs_parallel(
         final.reshape(-1, e), mode="drop", unique_indices=True
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming (chunked) stitching — bit-identical to the batch stitchers
+# ---------------------------------------------------------------------------
+
+
+def stitch_chunk_plan(
+    num_windows: int, frames_per_window: int, overlap: float, duration_per_frame: float
+):
+    """Per-window (blend-read offset, owned-rows) tuples for chunked stitching.
+
+    Derived from the same float-accumulated global bases as
+    :func:`stitch_plan`, so chunk boundaries never perturb the geometry
+    (with non-integral overlap frames the bases are NON-uniform — int()
+    truncation of a float accumulator — and must be computed globally)."""
+    bases, output_frames, ov = stitch_plan(
+        num_windows, frames_per_window, overlap, duration_per_frame
+    )
+    d = np.concatenate([[0], bases[1:] - bases[:-1]])  # d[0] unused
+    next_base = np.concatenate([bases[1:], [bases[-1] + frames_per_window]])
+    own = next_base - bases
+    if ov > 0 and num_windows > 1 and int(np.min(d[1:])) <= math.ceil(ov):
+        raise ValueError(
+            "chunked stitching needs the pairwise-blend precondition "
+            "(window stride > blend width); use the batch stitcher for "
+            f"overlap {overlap} at {duration_per_frame}s/frame"
+        )
+    return d, own, output_frames, ov
+
+
+@partial(jax.jit, static_argnames=("d", "own", "ov", "first"))
+def stitch_chunk(
+    prev_window: jax.Array,
+    chunk_probs: jax.Array,
+    *,
+    d: tuple,
+    own: tuple,
+    ov: float,
+    first: bool,
+) -> jax.Array:
+    """Stitched output rows OWNED by this chunk's windows — bit-identical to
+    the same rows of :func:`stitch_probs_parallel` over the full sequence.
+
+    prev_window: (fpw, E) probs of the window immediately before the chunk
+    (ignored when ``first``); chunk_probs: (Wc, fpw, E); ``d``/``own``: this
+    chunk's per-window blend-read offsets and owned-row counts from
+    :func:`stitch_chunk_plan`.  Every output row depends on at most the two
+    adjacent windows (the pairwise precondition), so per-chunk evaluation
+    with one context window reproduces the batch output exactly; ownership
+    rows are the contiguous prefix [0, own_w) of each blended window, so the
+    emitted segment is a plain concatenation.
+    """
+    probs = chunk_probs.astype(jnp.float32)
+    wc, fpw, e = probs.shape
+    prevs = jnp.concatenate(
+        [prev_window.astype(jnp.float32)[None], probs[:-1]], axis=0
+    )
+    r = jnp.arange(fpw)
+    if ov > 0:
+        blend = (r.astype(jnp.float32) / ov)[:, None]
+        in_blend = (r <= math.ceil(ov))[:, None]
+        idx = jnp.asarray(d)[:, None] + r[None, :]
+        oob = (idx >= fpw)[:, :, None]
+        prev_rows = jnp.take_along_axis(
+            prevs, jnp.clip(idx, 0, fpw - 1)[:, :, None], axis=1
+        )
+        cur = jnp.where(oob, 0.0, prev_rows)
+        final = jnp.where(
+            in_blend[None], (1.0 - blend) * cur + blend * probs, probs
+        )
+        if first:  # window 0 of the whole sequence is never blended
+            final = jnp.concatenate([probs[:1], final[1:]], axis=0)
+    else:
+        final = probs
+    return jnp.concatenate([final[i, : own[i]] for i in range(wc)], axis=0)

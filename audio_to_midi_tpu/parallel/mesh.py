@@ -21,6 +21,7 @@ Here the layout is explicit and first-class:
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -56,20 +57,39 @@ def make_mesh(
 
     ``model_size`` > 1 appends a tensor-parallel axis (innermost, so TP
     collectives ride the fastest ICI dimension); params then shard over it
-    via :mod:`.tp`.  Axis sizes that do not divide the device count fall
-    back to 1 (pure DP) rather than erroring.
+    via :mod:`.tp`.  A ``model_size`` that does not divide the device count
+    raises (an explicitly requested TP degree must never be silently
+    dropped); an ``ensemble_size`` that does not divide falls back to 1
+    with a warning (matching the reference's population default of 1).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if model_size > 1 and n % model_size == 0:
+    if model_size > 1 and n % model_size:
+        raise ValueError(
+            f"model_parallel_size {model_size} does not divide the "
+            f"{n}-device count; pick a divisor or drop the model axis"
+        )
+    if model_size > 1:
         axes: tuple = (ENSEMBLE_AXIS, DATA_AXIS, MODEL_AXIS)
         n_groups = n // model_size
         e = ensemble_size if ensemble_size > 1 and n_groups % ensemble_size == 0 else 1
+        if e != ensemble_size and ensemble_size > 1:
+            warnings.warn(
+                f"ensemble_size {ensemble_size} does not divide the "
+                f"{n_groups} data groups; using ensemble axis of 1",
+                stacklevel=2,
+            )
         shape: tuple = (e, n_groups // e, model_size)
     elif ensemble_size > 1 and n % ensemble_size == 0:
         axes = (ENSEMBLE_AXIS, DATA_AXIS)
         shape = (ensemble_size, n // ensemble_size)
     else:
+        if ensemble_size > 1:
+            warnings.warn(
+                f"ensemble_size {ensemble_size} does not divide the "
+                f"{n}-device count; using ensemble axis of 1",
+                stacklevel=2,
+            )
         axes = (ENSEMBLE_AXIS, DATA_AXIS)
         shape = (1, n)
     mesh_devices = np.asarray(devices).reshape(shape)
@@ -95,6 +115,32 @@ def shard_params(params, mesh: Mesh, ensemble: bool = False):
     """Place a param pytree: replicated, or population-sharded on axis 0."""
     sharding = ensemble_spec(mesh) if ensemble else replicated(mesh)
     return jax.device_put(params, sharding)
+
+
+def tp_active(mesh: Mesh) -> bool:
+    return mesh.shape.get(MODEL_AXIS, 1) > 1
+
+
+def make_param_placer(mesh: Mesh, num_heads: int):
+    """One placement function for params/optimizer state on this mesh.
+
+    Pure-DP/ensemble meshes replicate (or shard axis 0 over "ensemble");
+    meshes with a real "model" axis place Megatron TP shardings via
+    :func:`.tp.shard_params_tp`.  Used by the train loop's rollback and
+    evolution re-shard sites so every placement goes through the same rules.
+    """
+    if tp_active(mesh):
+        from .tp import shard_params_tp
+
+        def place(tree, ensemble: bool = False):
+            return shard_params_tp(tree, mesh, num_heads=num_heads, ensemble=ensemble)
+
+        return place
+
+    def place(tree, ensemble: bool = False):
+        return shard_params(tree, mesh, ensemble=ensemble)
+
+    return place
 
 
 def host_local_batch_to_global(batch, mesh: Mesh, leading_axes: int = 0):

@@ -6,8 +6,9 @@ idiomatic way to go past DP is GSPMD tensor parallelism: *place* the
 transformer weights with NamedShardings that split attention heads and FFN
 hidden units over the mesh's "model" axis and let jit propagate the layout
 through the unchanged forward/backward — XLA inserts exactly the classic
-Megatron collectives (one all-reduce after the attention out-projection and
-one after the FFN out-projection, riding ICI) without any model-code change.
+Megatron collectives (an all-reduce after the attention out-projection and
+after the FFN out-projection, plus a GLU-halves reshard — see the ``in_proj``
+rule below), riding ICI, without any model-code change.
 
 Sharding rules (everything else replicated over "model"):
 
@@ -19,8 +20,15 @@ Sharding rules (everything else replicated over "model"):
   * ``attention/out/w`` — (.., H*hd, D): split the INPUT dim; the contraction
     over the sharded dim is the layer's all-reduce point.
   * ``ff/in_proj/{w,b}`` — (.., D, 2*inter): split the OUTPUT dim.  The GLU
-    halves split (transformer.feed_forward) happens at column ``inter``;
-    GSPMD reshards the halves for the elementwise gate as needed.
+    halves split (transformer.feed_forward) happens at column ``inter``, so a
+    contiguous shard of the flat (D, 2*inter) concat holds gate-only or
+    value-only columns — NOT matching gate/value pairs; GSPMD inserts one
+    reshard (all-to-all over "model" of the (B, S, inter) halves) to realign
+    them for the elementwise ``gelu(x1)*x2``.  Pairing the columns per shard
+    would need a column permutation of the stored weight (and its inverse on
+    out_proj rows), breaking layout-independence of the checkpoint format —
+    at inter=512/seq 250 the activation reshard is tiny over ICI, so the
+    flat layout is kept.
   * ``ff/out_proj/w`` — (.., inter, D): split the INPUT dim (all-reduce point).
   * ``kv_down`` (the MLA compression, ckv = 64 lanes) and all norms/decoder/
     CNN params are replicated — ckv is far below a useful shard size.
@@ -46,11 +54,14 @@ from jax.tree_util import DictKey
 
 from .mesh import ENSEMBLE_AXIS, MODEL_AXIS
 
-# (enclosing module, leaf param, leaf array) -> which trailing dim to split:
-# "col" = last axis (projection outputs / biases), "row" = second-to-last
-# (projection inputs; the contraction that becomes the all-reduce).
+# (enclosing module, leaf param) -> which trailing dim to split: "col" = last
+# axis (projection outputs / biases), "row" = second-to-last (projection
+# inputs; the contraction that becomes the all-reduce).  The tuples only
+# apply INSIDE an "attention"/"ff" module (the decoder also has an "out"
+# linear, which must stay replicated) — _tp_dim checks membership.
 _COL = {("q_up", "w"), ("k_up", "w"), ("v_up", "w"), ("in_proj", "w"), ("in_proj", "b")}
 _ROW = {("out", "w"), ("out_proj", "w")}
+_ATTENTION_TAILS = {("q_up", "w"), ("k_up", "w"), ("v_up", "w"), ("out", "w")}
 
 
 def _dict_names(path) -> Tuple[str, ...]:
@@ -61,15 +72,12 @@ def _tp_dim(names: Tuple[str, ...]) -> Optional[str]:
     if len(names) < 2:
         return None
     tail = names[-2:]
-    in_attention = "attention" in names
-    in_ff = "ff" in names
-    if in_attention and tail in (("q_up", "w"), ("k_up", "w"), ("v_up", "w")):
+    module = "attention" if tail in _ATTENTION_TAILS else "ff"
+    if module not in names:
+        return None
+    if tail in _COL:
         return "col"
-    if in_attention and tail == ("out", "w"):
-        return "row"
-    if in_ff and tail in (("in_proj", "w"), ("in_proj", "b")):
-        return "col"
-    if in_ff and tail == ("out_proj", "w"):
+    if tail in _ROW:
         return "row"
     return None
 

@@ -108,6 +108,38 @@ def _scale_updates_per_leaf(factors) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _fused_flat(
+    inner: optax.GradientTransformation, params_template
+) -> optax.GradientTransformation:
+    """Run ``inner`` over ONE raveled vector instead of per-leaf trees.
+
+    The param tree has ~150 leaves; per-leaf elementwise optimizer ops
+    compile to ~one kernel launch each, so the whole AdamW chain spends its
+    time in launch overhead, not HBM (measured 6.9 ms for ~0.5 ms of
+    traffic, TRAINACCT round 4).  Raveling grads/params into a single
+    (num_params,) vector makes every chain stage one big fused kernel; the
+    math is optax's own, element-for-element.  Moments live flat in the
+    state (optimizer state is never checkpointed — reference train.py saves
+    params+model state only)."""
+    from jax.flatten_util import ravel_pytree
+
+    _, unravel = ravel_pytree(params_template)
+
+    def _flat(tree):
+        return ravel_pytree(tree)[0]
+
+    def init_fn(params):
+        return inner.init(_flat(params))
+
+    def update_fn(updates, state, params=None):
+        u, new_state = inner.update(
+            _flat(updates), state, _flat(params) if params is not None else None
+        )
+        return unravel(u), new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def setup_optimizers(
     params,
     model_cfg: ModelConfig,
@@ -127,19 +159,38 @@ def setup_optimizers(
     # warmup+cosine schedule, so a single AdamW followed by a per-leaf scale
     # by d is arithmetically identical — and compiles ~40x fewer masked
     # optimizer instances.
-    tx = optax.chain(
-        optax.adamw(
-            create_learning_rate_schedule(
-                train_cfg.base_learning_rate, train_cfg.warmup_steps, train_cfg.num_steps
+    def build(scale_tx):
+        return optax.chain(
+            optax.adamw(
+                create_learning_rate_schedule(
+                    train_cfg.base_learning_rate, train_cfg.warmup_steps,
+                    train_cfg.num_steps,
+                ),
+                b1=train_cfg.adam_b1,
+                b2=train_cfg.adam_b2,
+                eps=train_cfg.adam_eps,
+                weight_decay=train_cfg.weight_decay,
             ),
-            b1=train_cfg.adam_b1,
-            b2=train_cfg.adam_b2,
-            eps=train_cfg.adam_eps,
-            weight_decay=train_cfg.weight_decay,
-        ),
-        _scale_updates_per_leaf(factors),
-        optax.clip_by_global_norm(train_cfg.global_norm_clip),
-    )
+            scale_tx,
+            optax.clip_by_global_norm(train_cfg.global_norm_clip),
+        )
+
+    if train_cfg.fused_flat_optimizer:
+        # Same chain over the raveled vector: expand the per-leaf factors to
+        # element shape first so the scale stage is one flat multiply.
+        from jax.flatten_util import ravel_pytree
+
+        factors_flat = ravel_pytree(
+            jax.tree.map(
+                lambda p, f: jnp.broadcast_to(
+                    jnp.asarray(f, jnp.float32), p.shape
+                ).astype(p.dtype),
+                params, factors,
+            )
+        )[0]
+        tx = _fused_flat(build(_scale_updates_per_leaf(factors_flat)), params)
+    else:
+        tx = build(_scale_updates_per_leaf(factors))
     schedule = create_learning_rate_schedule(
         train_cfg.base_learning_rate, train_cfg.warmup_steps, train_cfg.num_steps
     )

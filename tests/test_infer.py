@@ -81,3 +81,84 @@ def test_transcribe_long_file_chunked(tmp_path):
     )
     np.testing.assert_allclose(stitched_chunked, stitched_full, rtol=1e-5, atol=1e-6)
     assert ev_chunked == ev_full
+
+
+def test_stitch_chunk_bit_identical_to_batch():
+    """Chunked stitching (ops/stitch.stitch_chunk) emits EXACTLY the batch
+    stitcher's rows — including the non-integral-overlap case where the
+    float-accumulated bases are non-uniform."""
+    from audio_to_midi_tpu.ops.stitch import (
+        stitch_chunk, stitch_chunk_plan, stitch_probs_parallel,
+    )
+
+    rng = np.random.default_rng(0)
+    fpw, e = 50, 7
+    for overlap, dpf in ((0.1, 0.01), (0.1003, 0.01), (0.0, 0.01)):
+        probs = rng.random((11, fpw, e)).astype(np.float32)
+        batch = np.asarray(stitch_probs_parallel(jnp.asarray(probs), overlap, dpf))
+        d_all, own_all, output_frames, ov = stitch_chunk_plan(11, fpw, overlap, dpf)
+        segs = []
+        prev = jnp.zeros((fpw, e), jnp.float32)
+        for w0 in range(0, 11, 4):
+            chunk = jnp.asarray(probs[w0 : w0 + 4])
+            d = tuple(int(x) for x in d_all[w0 : w0 + chunk.shape[0]])
+            own = tuple(int(x) for x in own_all[w0 : w0 + chunk.shape[0]])
+            segs.append(
+                np.asarray(stitch_chunk(prev, chunk, d=d, own=own, ov=ov, first=w0 == 0))
+            )
+            prev = chunk[-1]
+        out = np.concatenate(segs)
+        out = np.pad(out, ((0, output_frames - out.shape[0]), (0, 0)))
+        if float(overlap / dpf) == int(overlap / dpf):
+            # Integral overlap (the production geometries: 0.5 s / 0.25 s at
+            # 20 ms frames): bitwise identical.
+            np.testing.assert_array_equal(out, batch, err_msg=f"overlap={overlap}")
+        else:
+            # Non-integral overlap frames: the two XLA programs may contract
+            # the blend FMA differently — equal to 1 ulp.
+            np.testing.assert_allclose(
+                out, batch, rtol=2.4e-7, atol=6e-8, err_msg=f"overlap={overlap}"
+            )
+
+
+def test_transcribe_file_streaming_matches_batch(tmp_path):
+    """transcribe_file(stream) == transcribe_file: same stitched probs and
+    the SAME MIDI events, with the transfer/compute pipelined per chunk."""
+    events = synthetic.random_events(4.0, 6, seed=3)
+    audio = synthetic.synth_performance(events, 4.0, CFG.data.sample_rate)
+    f = tmp_path / "long.wav"
+    audio_io.write_wav(f, audio, CFG.data.sample_rate)
+
+    params, _ = model_lib.init(jax.random.PRNGKey(0), CFG.model)
+    stitched_batch, dpf_b, ev_batch = infer.transcribe_file(params, CFG, f, overlap=0.1)
+
+    stage = {}
+    segments = []
+    stitched_s, dpf_s, ev_s = infer.transcribe_file_streaming(
+        params, CFG, f, overlap=0.1, chunk_windows=4,
+        stage_times=stage, on_segment=lambda w0, seg: segments.append((w0, seg)),
+    )
+    assert dpf_s == dpf_b
+    assert stitched_s.shape == stitched_batch.shape
+    np.testing.assert_allclose(stitched_s, stitched_batch, rtol=2e-6, atol=2e-7)
+    assert ev_s == ev_batch
+    assert len(segments) == 3  # 10 windows / 4 per chunk
+    assert stage["first_segment_s"] is not None
+    assert stage["first_segment_s"] <= stage["total_s"]
+
+
+def test_transcribe_streaming_overlap_fallback(tmp_path):
+    """Overlap past the pairwise precondition falls back to the batch path
+    (identical results, no crash)."""
+    events = synthetic.random_events(1.5, 3, seed=4)
+    audio = synthetic.synth_performance(events, 1.5, CFG.data.sample_rate)
+    f = tmp_path / "x.wav"
+    audio_io.write_wav(f, audio, CFG.data.sample_rate)
+    params, _ = model_lib.init(jax.random.PRNGKey(0), CFG.model)
+    # overlap 0.3 of a 0.5 s window -> stride 320 <= ceil(480): chained blends
+    stitched_s, dpf, ev = infer.transcribe_file_streaming(
+        params, CFG, f, overlap=0.3, chunk_windows=4
+    )
+    stitched_b, _, ev_b = infer.transcribe_file(params, CFG, f, overlap=0.3)
+    np.testing.assert_array_equal(stitched_s, stitched_b)
+    assert ev == ev_b

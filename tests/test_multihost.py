@@ -77,3 +77,12 @@ def test_two_process_training_loop():
     assembly inside loop.train, 3 steps with on-device augmentation; both
     hosts end with identical replicated params."""
     _run_two_process("loop")
+
+
+@pytest.mark.slow
+def test_two_process_training_loop_with_ring():
+    """Multi-host x device ring (VERDICT r03 weak #6): the loop's default
+    feed path — replicated HBM pool, per-host feeder shards assembled into
+    global chunks, LOCKSTEP refresh on both hosts — through 3 real steps;
+    identical post-update digests prove the ring state never diverged."""
+    _run_two_process("ring_loop")

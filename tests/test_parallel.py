@@ -1,10 +1,14 @@
 """Sharding / multi-device tests on the virtual 8-CPU mesh: mesh shapes,
-batch sharding, DP gradient consistency vs single device, the multi-host
-array-assembly helper, and the graft dryrun path."""
+batch sharding, DP gradient consistency vs single device, Megatron tensor
+parallelism (spec placement, forward parity, full-train-step parity vs pure
+DP), the multi-host array-assembly helper, and the graft dryrun path."""
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from audio_to_midi_tpu.parallel import (
@@ -14,7 +18,12 @@ from audio_to_midi_tpu.parallel import (
     replicated,
     shard_params,
 )
-from audio_to_midi_tpu.parallel.mesh import host_local_batch_to_global
+from audio_to_midi_tpu.parallel.mesh import (
+    host_local_batch_to_global,
+    make_param_placer,
+    tp_active,
+)
+from audio_to_midi_tpu.parallel.tp import shard_params_tp, tp_spec_tree
 
 
 def test_mesh_shapes():
@@ -22,8 +31,20 @@ def test_mesh_shapes():
     assert dict(mesh.shape) == {"ensemble": 1, "data": 8}
     mesh2 = make_mesh(2)
     assert dict(mesh2.shape) == {"ensemble": 2, "data": 4}
-    mesh3 = make_mesh(3)  # does not divide 8 -> falls back to pure DP
+    with pytest.warns(UserWarning, match="does not divide"):
+        mesh3 = make_mesh(3)  # does not divide 8 -> falls back to pure DP
     assert dict(mesh3.shape) == {"ensemble": 1, "data": 8}
+
+
+def test_mesh_model_axis():
+    mesh = make_mesh(1, model_size=4)
+    assert dict(mesh.shape) == {"ensemble": 1, "data": 2, "model": 4}
+    assert tp_active(mesh)
+    mesh2 = make_mesh(2, model_size=2)
+    assert dict(mesh2.shape) == {"ensemble": 2, "data": 2, "model": 2}
+    assert not tp_active(make_mesh(1))
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh(1, model_size=3)  # requested TP degree must never be dropped
 
 
 def test_batch_sharded_over_devices():
@@ -78,3 +99,173 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism (parallel/tp.py) on the virtual mesh
+# ---------------------------------------------------------------------------
+
+
+def _tiny_cfg(**train_kw):
+    from audio_to_midi_tpu.config import (
+        Config, DataConfig, ModelConfig, PrecisionConfig, TrainConfig,
+    )
+
+    return Config(
+        model=ModelConfig(
+            dims=(4, 8),
+            depths=(1, 1),
+            num_transformer_layers=2,
+            num_transformer_heads=2,
+            attention_size=8,
+            compressed_attention_kv_size=8,
+            compressed_attention_q_size=8,
+            rope_max_positions=128,
+            attention_impl="xla",  # TP partitions the einsum formulation
+            transformer_dropout_rate=0.1,
+        ),
+        data=DataConfig(model_audio_length=1000 / 16000),
+        precision=PrecisionConfig(compute_dtype=jnp.float32),
+        train=TrainConfig(**train_kw),
+    )
+
+
+def test_tp_spec_tree_production_geometry():
+    """Sharding rules on the REAL production param tree: attention head
+    projections + FFN projections sharded over "model", everything else
+    (norms, kv_down, CNN, decoder) replicated."""
+    from audio_to_midi_tpu.config import ModelConfig
+    from audio_to_midi_tpu.models import model as model_lib
+
+    cfg = ModelConfig()
+    params, _state = model_lib.init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(1, model_size=4)
+    specs = tp_spec_tree(params, mesh, num_heads=cfg.num_transformer_heads)
+
+    def spec_of(*path):
+        node = specs
+        for k in path:
+            node = node[k]
+        return tuple(node.spec)
+
+    for half in ("local", "global"):
+        attn = ("transformer", half, "attention")
+        # stacked leaves: (num_layers, in, out) -> spec has a leading None
+        assert spec_of(*attn, "q_up", "w") == (None, None, "model")
+        assert spec_of(*attn, "k_up", "w") == (None, None, "model")
+        assert spec_of(*attn, "v_up", "w") == (None, None, "model")
+        assert spec_of(*attn, "out", "w") == (None, "model", None)
+        assert spec_of(*attn, "kv_down", "w") == (None, None, None)
+        ff = ("transformer", half, "ff")
+        assert spec_of(*ff, "in_proj", "w") == (None, None, "model")
+        assert spec_of(*ff, "in_proj", "b") == (None, "model")
+        assert spec_of(*ff, "out_proj", "w") == (None, "model", None)
+        assert spec_of("transformer", half, "attention_norm", "scale") == (None, None)
+    # decoder's "out" linear is NOT an attention out-projection
+    assert spec_of("decoder", "out", "w") == (None, None)
+    # every CNN leaf replicates over "model"
+    cnn_specs = jax.tree.map(lambda s: tuple(s.spec), specs["cnn"])
+    for sp in jax.tree.leaves(cnn_specs, is_leaf=lambda x: isinstance(x, tuple)):
+        assert all(d != "model" for d in sp)
+
+
+def test_tp_forward_matches_replicated():
+    """A TP-sharded forward is numerically the replicated forward."""
+    from audio_to_midi_tpu.models import model as model_lib
+
+    cfg = _tiny_cfg()
+    rope = model_lib.make_rope(cfg.model)
+    params, _ = model_lib.init(jax.random.PRNGKey(0), cfg.model)
+    audio = jax.random.normal(
+        jax.random.PRNGKey(1), (8, 2, cfg.data.samples_per_window), jnp.float32
+    )
+
+    logits_ref, probs_ref = jax.jit(
+        lambda p, a: model_lib.forward(p, cfg.model, a, rope)
+    )(params, audio)
+
+    mesh = make_mesh(1, model_size=2)
+    params_tp = shard_params_tp(
+        params, mesh, num_heads=cfg.model.num_transformer_heads
+    )
+    audio_s = jax.device_put(audio, batch_spec(mesh))
+    logits_tp, probs_tp = jax.jit(
+        lambda p, a: model_lib.forward(p, cfg.model, a, rope)
+    )(params_tp, audio_s)
+
+    np.testing.assert_allclose(
+        np.asarray(logits_tp), np.asarray(logits_ref), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(probs_tp), np.asarray(probs_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def _one_train_step(cfg, mesh, ensemble_size):
+    from audio_to_midi_tpu.models import model as model_lib
+    from audio_to_midi_tpu.train import (
+        make_train_step, reshape_to_minibatches, setup_optimizers,
+    )
+
+    rope = model_lib.make_rope(cfg.model)
+    params, _ = model_lib.init_ensemble(
+        jax.random.PRNGKey(0), cfg.model, ensemble_size
+    )
+    place = make_param_placer(mesh, cfg.model.num_transformer_heads)
+    params = place(params, ensemble=ensemble_size > 1)
+    tx, _ = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
+    opt_state = place(jax.vmap(tx.init)(params), ensemble=ensemble_size > 1)
+    step = make_train_step(cfg, tx, rope, mesh=mesh, ensemble=True)
+
+    num_frames = cfg.model.output_frames(cfg.data.samples_per_window)
+    audio = jax.random.normal(
+        jax.random.PRNGKey(1), (16, 2, cfg.data.samples_per_window), jnp.float32
+    )
+    labels = (
+        jax.random.uniform(
+            jax.random.PRNGKey(2), (16, num_frames, cfg.model.output_vocab)
+        )
+        > 0.95
+    ).astype(jnp.float32)
+    audio_mb = jax.device_put(
+        reshape_to_minibatches(audio, 8), batch_spec(mesh, 1)
+    )
+    labels_mb = jax.device_put(
+        reshape_to_minibatches(labels, 8), batch_spec(mesh, 1)
+    )
+    before = jax.tree.map(np.asarray, params)
+    out = step(
+        params, opt_state, audio_mb, labels_mb, jax.random.PRNGKey(3),
+        jnp.asarray(1.0, jnp.float32),
+    )
+    updates = jax.tree.map(
+        lambda n, o: np.asarray(n) - o, out.params, before
+    )
+    return np.asarray(out.loss), updates
+
+
+@pytest.mark.parametrize(
+    "ensemble_size,model_size",
+    [(1, 2), (1, 4), (2, 2)],
+    ids=["dp4-tp2", "dp2-tp4", "ens2-dp2-tp2"],
+)
+def test_tp_train_step_matches_dp(ensemble_size, model_size):
+    """The FULL train step (grad-accum scan, AdamW chain, finite-guard) on an
+    (ensemble, data, model) mesh produces the same updates as pure DP, within
+    f32 reassociation tolerance."""
+    cfg = _tiny_cfg(batch_size=16, minibatch_size_per_device=8)
+
+    loss_dp, upd_dp = _one_train_step(cfg, make_mesh(ensemble_size), ensemble_size)
+    loss_tp, upd_tp = _one_train_step(
+        cfg, make_mesh(ensemble_size, model_size=model_size), ensemble_size
+    )
+
+    np.testing.assert_allclose(loss_tp, loss_dp, rtol=1e-5)
+    flat_dp, _ = jax.tree_util.tree_flatten_with_path(upd_dp)
+    flat_tp, _ = jax.tree_util.tree_flatten_with_path(upd_tp)
+    assert len(flat_dp) == len(flat_tp)
+    for (path, a), (_, b) in zip(flat_dp, flat_tp):
+        np.testing.assert_allclose(
+            b, a, rtol=5e-3, atol=1e-9,
+            err_msg=f"update mismatch at {jax.tree_util.keystr(path)}",
+        )

@@ -447,3 +447,40 @@ def test_ring_feeder_all_garbage_source_fails_fast():
     with pytest.raises(RuntimeError, match="input feed thread failed") as ei:
         ring.pull(feeder, min_fill=4)
     assert "non-finite" in str(ei.value.__cause__)
+
+
+def test_fused_flat_optimizer_matches_per_leaf():
+    """The raveled-vector AdamW chain (TrainConfig.fused_flat_optimizer) is
+    the per-leaf chain element-for-element: same updates, multiple steps,
+    full production param tree."""
+    import dataclasses
+
+    cfg = Config()  # production model geometry
+    params, _ = model_lib.init(jax.random.PRNGKey(0), cfg.model)
+    tx_flat, _ = optim.setup_optimizers(
+        params, cfg.model,
+        dataclasses.replace(cfg.train, fused_flat_optimizer=True),
+    )
+    tx_leaf, _ = optim.setup_optimizers(
+        params, cfg.model,
+        dataclasses.replace(cfg.train, fused_flat_optimizer=False),
+    )
+    import optax
+
+    p_a = p_b = params
+    s_a, s_b = tx_flat.init(p_a), tx_leaf.init(p_b)
+    for i in range(3):
+        grads = jax.tree.map(
+            lambda p: 1e-3 * jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(7), i), p.shape
+            ),
+            p_a,
+        )
+        u_a, s_a = tx_flat.update(grads, s_a, p_a)
+        u_b, s_b = tx_leaf.update(grads, s_b, p_b)
+        for x, y in zip(jax.tree.leaves(u_a), jax.tree.leaves(u_b)):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-12
+            )
+        p_a = optax.apply_updates(p_a, u_a)
+        p_b = optax.apply_updates(p_b, u_b)
