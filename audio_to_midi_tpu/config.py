@@ -105,14 +105,32 @@ class ModelConfig:
     # ConvNeXt block) and remat re-spends ~1x the forward FLOPs in the
     # backward, so it is a measured knob: the train-step accounting
     # (tools/train_accounting.py, PERF.md round 4) decides the default.
+    # CNN block remat stays ON: saving the scanned stages' activations means
+    # XLA stacks them with dynamic-update-slice per iteration — measured
+    # +20 ms/step at batch 64 vs recomputing them (STEPTIME round 4).
     cnn_remat: bool = True
-    transformer_remat: bool = True
+    # Transformer remat OFF by default: the 16 sublayers' activations are
+    # tiny (250 x 256) and the remat recompute + checkpoint bookkeeping
+    # measured ~6 ms/step of the 69.2 ms round-3 train step (STEPTIME r4).
+    # Grad-exactness vs remat-on is tested (tests/test_train.py).
+    transformer_remat: bool = False
     # lax.scan unroll factor for the transformer layer stack (1 = the
-    # reference's one-compiled-layer scan, model.py:656-668).  At seq 250 /
-    # minibatch 8 the per-layer kernels are tiny and the scan's carry
-    # round-trips dominate; unrolling widens XLA's fusion scope across
-    # sublayers.  Measured knob (TRAINACCT round 4).
-    transformer_scan_unroll: int = 1
+    # reference's one-compiled-layer scan, model.py:656-668).  At seq 250
+    # the per-layer kernels are small and unrolling widens XLA's fusion
+    # scope across sublayers (measured ~-1 ms/step; free at compile time
+    # for 8 layers).
+    transformer_scan_unroll: int = 8
+    # Same for the CNN stage block scans (stage 5 runs 21 blocks; unroll is
+    # clamped to each stage's depth, so 21 = fully unrolled everywhere).
+    # Measured -3.4 ms/step at batch 64 (53.6 -> 50.2, STEPTIME4/5 round 4):
+    # the unrolled bodies let XLA fuse across block boundaries and drop the
+    # scan's carry round-trips.  Costs compile time only.
+    cnn_scan_unroll: int = 21
+    # Dropout masks from the hardware-backed RBG bit generator instead of
+    # threefry (models/nn.dropout).  Distribution-identical, different
+    # stream; no parity contract binds the exact masks.  Measured
+    # -4.4 ms/step at the production dropout config (STEPTIME round 4).
+    fast_dropout_rng: bool = True
 
     # "pallas": small-C early stages (C < 64) run in the packed
     # space-to-depth formulation (models/convnext_packed.py) where every op
@@ -233,7 +251,14 @@ class TransformSettings:
 @dataclass(frozen=True)
 class TrainConfig:
     batch_size: int = 64
-    minibatch_size_per_device: int = 8     # reference: minibatch = 8 * n_devices
+    # Gradient-accumulation minibatch per device.  The reference uses
+    # 8 * n_devices (train.py:744, a GPU memory choice); on v5e 32 fits
+    # easily and measured best (mb8 50.2+... -> mb16 50.2 -> mb32 48.9 ->
+    # mb64 49.8 ms/step at batch 64, STEPTIME5/6 round 4): fewer
+    # accumulation-scan iterations and better MXU occupancy.  The
+    # accumulated gradient is the same sum either way, and the loop clamps
+    # minibatch*data_devices to batch_size.
+    minibatch_size_per_device: int = 32
     num_steps: int = 200_000
     warmup_steps: int = 1000
     base_learning_rate: float = 1e-4

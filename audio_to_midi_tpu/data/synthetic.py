@@ -30,20 +30,38 @@ def synth_note(
     harmonics: tuple[tuple[int, float], ...] = (
         (1, 1.0), (2, 0.5), (3, 0.25), (4, 0.125)
     ),
+    inharmonicity: float = 0.0,
+    attack_s: float = 0.0,
+    tremolo: tuple[float, float] = (0.0, 0.0),
 ) -> np.ndarray:
     """Decaying harmonic stack with a sharp attack — crude piano.
 
     ``decay``/``harmonics`` vary the timbre (generalization experiments);
-    the defaults are the original fixed voice."""
+    the defaults are the original fixed voice.  The extra controls change
+    the generator STRUCTURE, not just its parameter ranges — used to build
+    a disjoint synthesis *family* for cross-family generalization tests:
+      * ``inharmonicity`` B: partial h sounds at h*f0*sqrt(1 + B*h^2)
+        (stiff-string stretching, real pianos B ~ 1e-4..1e-3);
+      * ``attack_s``: slow linear attack replacing the percussive
+        1-exp(-200 t) onset;
+      * ``tremolo`` (depth, hz): amplitude modulation.
+    """
     n = int(duration_s * sample_rate)
     t = np.arange(n, dtype=np.float32) / sample_rate
     f0 = midi_key_frequency(key)
     x = np.zeros(n, np.float32)
     for h, amp in harmonics:
-        f = f0 * h
+        f = f0 * h * float(np.sqrt(1.0 + inharmonicity * h * h))
         if f < sample_rate / 2:
             x += amp * np.sin(2 * np.pi * f * t, dtype=np.float32)
-    env = np.exp(-decay * t) * (1 - np.exp(-200.0 * t))
+    if attack_s > 0:
+        attack = np.clip(t / attack_s, 0.0, 1.0)
+    else:
+        attack = 1 - np.exp(-200.0 * t)
+    env = np.exp(-decay * t) * attack
+    depth, hz = tremolo
+    if depth > 0 and hz > 0:
+        env = env * (1.0 - depth * 0.5 * (1 - np.cos(2 * np.pi * hz * t)))
     return (velocity * x * env).astype(np.float32)
 
 
@@ -57,6 +75,7 @@ def synth_performance(
     harmonics: tuple[tuple[int, float], ...] = (
         (1, 1.0), (2, 0.5), (3, 0.25), (4, 0.125)
     ),
+    **note_kwargs,
 ) -> np.ndarray:
     """events: (onset_s, duration_s, midi_key, velocity 0..1) -> (2, N)."""
     rng = np.random.default_rng(seed)
@@ -64,7 +83,10 @@ def synth_performance(
     left = np.zeros(n, np.float32)
     right = np.zeros(n, np.float32)
     for onset, dur, key, vel in events:
-        note = synth_note(key, dur, sample_rate, vel, decay=decay, harmonics=harmonics)
+        note = synth_note(
+            key, dur, sample_rate, vel, decay=decay, harmonics=harmonics,
+            **note_kwargs,
+        )
         start = int(onset * sample_rate)
         stop = min(n, start + note.shape[0])
         if stop <= start:
@@ -98,6 +120,42 @@ def random_events(
     return events
 
 
+def _family_voice(family: str, rng: np.random.Generator) -> dict:
+    """Per-sample timbre draw for a synthesis FAMILY.
+
+    The two families are structurally disjoint generators, not just
+    different parameter ranges (VERDICT r03: cross-family generalization
+    evidence needs holdout timbres a trained model never saw the likes of):
+
+      * "percussive" — the original generator: percussive 1-exp(-200 t)
+        attack, harmonic partials, 5 harmonics, decay U(1.5, 5), rolloff
+        U(0.3, 0.7).
+      * "sustained" — slow-attack (U(10, 60) ms), INHARMONIC partials
+        (stiff-string B ~ U(2e-4, 1.5e-3)), brighter and deeper stacks
+        (8 partials, rolloff U(0.55, 0.85)), faster decay U(0.6, 1.3),
+        tremolo depth U(0.1, 0.4) at U(4, 7) Hz.
+    """
+    if family == "percussive":
+        # Draw order matches the original variety path exactly (decay, then
+        # rolloff) so seeded datasets reproduce across rounds.
+        decay = float(rng.uniform(1.5, 5.0))
+        rolloff = float(rng.uniform(0.3, 0.7))
+        return dict(
+            decay=decay,
+            harmonics=tuple((h, rolloff ** (h - 1)) for h in range(1, 6)),
+        )
+    if family == "sustained":
+        rolloff = float(rng.uniform(0.55, 0.85))
+        return dict(
+            decay=float(rng.uniform(0.6, 1.3)),
+            harmonics=tuple((h, rolloff ** (h - 1)) for h in range(1, 9)),
+            inharmonicity=float(rng.uniform(2e-4, 1.5e-3)),
+            attack_s=float(rng.uniform(0.01, 0.06)),
+            tremolo=(float(rng.uniform(0.1, 0.4)), float(rng.uniform(4.0, 7.0))),
+        )
+    raise ValueError(f"unknown synthesis family {family!r}")
+
+
 def make_synthetic_dataset(
     out_dir: str | Path,
     num_samples: int = 4,
@@ -106,36 +164,37 @@ def make_synthetic_dataset(
     sample_rate: int = SAMPLE_RATE,
     seed: int = 0,
     variety: bool = False,
+    family: str | None = None,
 ) -> list[str]:
     """Write <name>.wav + <name>.csv pairs in the reference dataset layout.
 
     ``variety=True`` randomizes timbre per sample (decay, harmonic rolloff)
     and adds chords — the generalization-experiment mode; False keeps the
-    original fixed voice (test fixtures)."""
+    original fixed voice (test fixtures).  ``family`` (implies variety)
+    draws each sample's voice from a named structurally-disjoint generator
+    (:func:`_family_voice`) for cross-family holdout experiments."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     names = []
     for i in range(num_samples):
         name = f"sample_{i:03d}"
         s = seed * 1000 + i
-        if variety:
+        voice: dict = {}
+        if family is not None:
             rng = np.random.default_rng(s + 7_777_777)
-            decay = float(rng.uniform(1.5, 5.0))
-            rolloff = float(rng.uniform(0.3, 0.7))
-            harmonics = tuple(
-                (h, rolloff ** (h - 1)) for h in range(1, 6)
-            )
+            voice = _family_voice(family, rng)
+            chord_prob = float(rng.uniform(0.1, 0.5))
+        elif variety:
+            rng = np.random.default_rng(s + 7_777_777)
+            voice = _family_voice("percussive", rng)
             chord_prob = float(rng.uniform(0.1, 0.5))
         else:
-            decay, harmonics, chord_prob = (
-                3.0, ((1, 1.0), (2, 0.5), (3, 0.25), (4, 0.125)), 0.0
-            )
+            chord_prob = 0.0
         events = random_events(
             duration_s, notes_per_sample, seed=s, chord_prob=chord_prob
         )
         audio = synth_performance(
-            events, duration_s, sample_rate, seed=s,
-            decay=decay, harmonics=harmonics,
+            events, duration_s, sample_rate, seed=s, **voice
         )
         write_wav(out_dir / f"{name}.wav", audio, sample_rate)
         write_events_csv(out_dir / f"{name}.csv", events)

@@ -103,6 +103,7 @@ def _attend(
     enable_dropout: bool,
     impl: str = "xla",
     block: int = 0,
+    fast_rng: bool = False,
 ) -> jax.Array:
     """Multi-head attention core.  q,k,v: (..., S, H, hd) -> (..., S, H*hd).
 
@@ -150,7 +151,7 @@ def _attend(
         cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
         logits = jnp.where(rows // block == cols // block, logits, -1e30)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
-    weights = nn.dropout(weights, dropout_rate, key, enable_dropout)
+    weights = nn.dropout(weights, dropout_rate, key, enable_dropout, fast_rng=fast_rng)
     attn = jnp.einsum("...hsS,...Shd->...shd", weights, v)
     *lead, s, h, d = attn.shape
     return attn.reshape(*lead, s, h * d)
@@ -233,6 +234,7 @@ def self_attention(
         key=key,
         enable_dropout=enable_dropout,
         impl=cfg.attention_impl,
+        fast_rng=cfg.fast_dropout_rng,
     )
     return nn.linear(attn, p["out"])
 
@@ -384,6 +386,7 @@ def local_self_attention(
             dropout_rate=cfg.transformer_dropout_rate,
             key=key,
             enable_dropout=enable_dropout,
+            fast_rng=cfg.fast_dropout_rng,
         )  # (B, num_windows, window, H*hd)
     out_w = nn.linear(out_w, p["out"])  # (B, num_windows, window, D)
 

@@ -244,7 +244,10 @@ def cnn_forward(
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )(body)
 
-        h, _ = jax.lax.scan(body, h, (stage["blocks"], stage_rates, stage_keys))
+        h, _ = jax.lax.scan(
+            body, h, (stage["blocks"], stage_rates, stage_keys),
+            unroll=min(cfg.cnn_scan_unroll, depth_i),
+        )
         depth_count += depth_i
 
     if packed:

@@ -105,14 +105,33 @@ def layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
 
 
 def dropout(
-    x: jax.Array, rate: float, key: jax.Array | None, enabled: bool
+    x: jax.Array, rate: float, key: jax.Array | None, enabled: bool,
+    fast_rng: bool = False,
 ) -> jax.Array:
-    """Inverted dropout; no-op when disabled (static python bool)."""
+    """Inverted dropout; no-op when disabled (static python bool).
+
+    ``fast_rng`` derives the mask from the RBG bit generator instead of
+    threefry: JAX's default threefry costs many VPU ops per random word,
+    while rbg is hardware-backed on TPU.  Masks only need independence and
+    per-key reproducibility — no parity contract binds their exact stream
+    (the reference's masks are Equinox threefry draws we never match
+    anyway).  The rbg key is derived injectively from the caller's key, so
+    key-splitting discipline is unchanged.
+    """
     if not enabled or rate == 0.0:
         return x
     assert key is not None, "dropout requires a key when enabled"
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(key, keep, x.shape)
+    if fast_rng:
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            data = jax.random.key_data(key)
+        else:
+            data = key
+        data = data.astype(jnp.uint32).reshape(-1)
+        rbg = jax.random.wrap_key_data(jnp.tile(data, 4)[:4], impl="rbg")
+        mask = jax.random.bernoulli(rbg, keep, x.shape)
+    else:
+        mask = jax.random.bernoulli(key, keep, x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 

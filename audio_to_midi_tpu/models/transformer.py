@@ -86,12 +86,13 @@ def feed_forward(
     dropout_rate: float,
     key: jax.Array | None,
     enable_dropout: bool,
+    fast_rng: bool = False,
 ) -> jax.Array:
     h = nn.linear(x, p["in_proj"])
     x1, x2 = jnp.split(h, 2, axis=-1)
     h = nn.gelu(x1) * x2
     out = nn.linear(h, p["out_proj"])
-    return nn.dropout(out, dropout_rate, key, enable_dropout)
+    return nn.dropout(out, dropout_rate, key, enable_dropout, fast_rng=fast_rng)
 
 
 def transformer_layer(
@@ -128,6 +129,7 @@ def transformer_layer(
         dropout_rate=cfg.transformer_dropout_rate,
         key=ff_key,
         enable_dropout=enable_dropout,
+        fast_rng=cfg.fast_dropout_rng,
     )
     return h + r
 

@@ -74,6 +74,38 @@ def test_dropout_changes_output_only_when_enabled():
     assert not np.allclose(base, dropped)
 
 
+def test_fast_rng_dropout_semantics():
+    """fast_dropout_rng=True draws masks from the RBG bit generator: same
+    keep-rate statistics and inverted scaling as the threefry path, key-
+    reproducible, key-sensitive, and differentiable (the default train
+    config uses it — STEPTIME round 4 measured -4.4 ms/step)."""
+    from audio_to_midi_tpu.models import nn
+
+    x = jnp.ones((512, 257), jnp.float32)
+    k1, k2 = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+    y1 = nn.dropout(x, 0.25, k1, True, fast_rng=True)
+    y1b = nn.dropout(x, 0.25, k1, True, fast_rng=True)
+    y2 = nn.dropout(x, 0.25, k2, True, fast_rng=True)
+    np.testing.assert_array_equal(y1, y1b)  # reproducible per key
+    assert not np.array_equal(np.asarray(y1), np.asarray(y2))  # key-sensitive
+    vals = np.unique(np.asarray(y1))
+    np.testing.assert_allclose(vals, [0.0, 1.0 / 0.75], rtol=1e-6)
+    keep = float((np.asarray(y1) != 0).mean())
+    assert abs(keep - 0.75) < 0.02
+    # Inert when disabled / rate 0, and grads flow where kept.
+    np.testing.assert_array_equal(nn.dropout(x, 0.25, k1, False, fast_rng=True), x)
+    g = jax.grad(lambda a: nn.dropout(a, 0.25, k1, True, fast_rng=True).sum())(x)
+    np.testing.assert_array_equal(np.asarray(g) != 0, np.asarray(y1) != 0)
+    # Works under jit + vmap with split keys (the production use).
+    ks = jax.random.split(k1, 4)
+    ys = jax.jit(jax.vmap(lambda k: nn.dropout(x, 0.25, k, True, fast_rng=True)))(ks)
+    masks = np.asarray(ys) != 0
+    assert all(
+        not np.array_equal(masks[i], masks[j])
+        for i in range(4) for j in range(i + 1, 4)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Local attention: compare the reshape-based overlap-average against a direct
 # port of the reference's scatter formulation (model.py:409-471), including

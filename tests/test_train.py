@@ -484,3 +484,33 @@ def test_fused_flat_optimizer_matches_per_leaf():
             )
         p_a = optax.apply_updates(p_a, u_a)
         p_b = optax.apply_updates(p_b, u_b)
+
+
+def test_remat_and_unroll_flags_are_grad_exact():
+    """The measured perf knobs (transformer_remat, cnn_remat,
+    transformer_scan_unroll) change scheduling/memory only: identical loss
+    and gradients (STEPTIME round 4 defaults vs reference-parity settings)."""
+    from audio_to_midi_tpu.train.loss import batch_loss
+
+    cfg = small_config()
+    rope = model_lib.make_rope(cfg.model)
+    params, _ = model_lib.init(jax.random.PRNGKey(0), cfg.model)
+    a = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 200))  # -> 20 frames
+    l = jnp.zeros((2, 20, 90))
+
+    outs = []
+    for remat, unroll in ((True, 1), (False, 8), (False, 1), (True, 8)):
+        m = dataclasses.replace(
+            cfg.model, transformer_remat=remat, cnn_remat=remat,
+            transformer_scan_unroll=unroll,
+        )
+        v, g = jax.value_and_grad(batch_loss)(
+            params, m, a, l, rope, jnp.float32(1.0), None, jnp.float32, False
+        )
+        outs.append((float(v), g))
+    for v, g in outs[1:]:
+        np.testing.assert_allclose(v, outs[0][0], rtol=1e-6)
+        for x, y in zip(jax.tree.leaves(g), jax.tree.leaves(outs[0][1])):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6
+            )

@@ -101,7 +101,9 @@ def main():
         tx, _ = setup_optimizers(params, cfg.model, cfg.train, ensemble=True)
         opt = shard_params(jax.vmap(tx.init)(params), mesh)
         step = make_train_step(cfg, tx, rope, mesh=mesh, ensemble=True)
-        mb = min(8 * len(jax.devices()), args.batch)
+        mb = min(
+            cfg.train.minibatch_size_per_device * len(jax.devices()), args.batch
+        )
         audio = jax.random.normal(
             jax.random.PRNGKey(1),
             (args.batch, 2, cfg.data.samples_per_window), jnp.float32,

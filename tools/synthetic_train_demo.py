@@ -47,6 +47,12 @@ def main():
         "--variety", action="store_true",
         help="timbre-varied + chordal synthetic data (generalization mode)",
     )
+    p.add_argument(
+        "--family-split", action="store_true",
+        help="cross-family generalization: train on the 'percussive' family, "
+        "hold out BOTH unseen-percussive and the structurally-disjoint "
+        "'sustained' family (slow attack, inharmonic partials, tremolo)",
+    )
     p.add_argument("--json-out", default=None, help="write results JSON here")
     p.add_argument(
         "--eval-every", type=int, default=0,
@@ -64,14 +70,26 @@ def main():
 
     os.environ.setdefault("SAMPLE_CACHE_DIR", str(work / "cache"))
     train_dir, val_dir = work / "train", work / "val"
+    train_family = "percussive" if args.family_split else None
     synthetic.make_synthetic_dataset(
         train_dir, num_samples=args.train_samples, duration_s=5.0,
         notes_per_sample=8, seed=100, variety=args.variety,
+        family=train_family,
     )
     synthetic.make_synthetic_dataset(
         val_dir, num_samples=args.val_samples, duration_s=5.0,
         notes_per_sample=8, seed=999, variety=args.variety,
+        family=train_family,
     )
+    cross_dir = None
+    if args.family_split:
+        # Structurally-disjoint holdout family: unseen generator, not just
+        # unseen samples (VERDICT r03 next #3).
+        cross_dir = work / "val_cross"
+        synthetic.make_synthetic_dataset(
+            cross_dir, num_samples=args.val_samples, duration_s=5.0,
+            notes_per_sample=8, seed=555, family="sustained",
+        )
 
     cfg = Config(
         train=TrainConfig(
@@ -129,16 +147,22 @@ def main():
         def flush(self):
             pass
 
+    testsets = {"holdout": val_dir}
+    if cross_dir is not None:
+        testsets["holdout-cross"] = cross_dir
     params, state, opt_state = loop.train(
         cfg, params, state, tx, opt_state, data_loader, manager, sched,
         rope, num_frames, mesh=mesh,
-        testset_dirs={"holdout": val_dir} if args.eval_every else None,
+        testset_dirs=testsets if args.eval_every else None,
         summary_writer=_CurveWriter() if args.eval_every else None,
     )
     manager.wait_until_finished()
 
+    evals = [("train", train_dir), ("holdout", val_dir)]
+    if cross_dir is not None:
+        evals.append(("holdout_cross", cross_dir))
     results = {}
-    for name, d in (("train", train_dir), ("holdout", val_dir)):
+    for name, d in evals:
         loss, hit, eventized, _ = compute_testset_loss(
             params, cfg, d, num_frames, rope, ensemble=True
         )

@@ -1,7 +1,7 @@
 """Speed-of-light accounting of the training step (PERF.md round 4).
 
-Decomposes the production train step (batch 64, minibatch 8, default model,
-reference semantics train.py:259-332) into measured components so the gap
+Decomposes the production train step (batch 64, default model, reference
+semantics train.py:259-332) into measured components so the gap
 between the step time and the chip's demonstrated forward MFU is attributed,
 not guessed:
 
@@ -17,6 +17,10 @@ not guessed:
   * step           — the full train step at a (minibatch, dropout, remat)
                      grid, including minibatch sweeps (8/16/32/64) that trade
                      gradient-accumulation scan length for MXU utilization
+
+--final re-measures the decomposition at the SHIPPED defaults (round-4
+knobs locked by STEPTIME1-6: minibatch 32, scan unrolls, transformer remat
+off, RBG dropout masks) -> TRAINACCT_r04.json for PERF.md's round-4 table.
 
 Timing: N dispatches queued back-to-back, one block at the end (device work
 serializes; the tunnel RTT is hidden by the dispatch pipeline), median of 3
@@ -62,6 +66,12 @@ def main() -> int:
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--quick", action="store_true")
+    p.add_argument(
+        "--final", action="store_true",
+        help="decompose at the SHIPPED config defaults (round-4 knobs: "
+        "minibatch from TrainConfig, unrolls, remat split, fast dropout "
+        "rng) instead of the round-3 exploration grid",
+    )
     p.add_argument("--out", default="TRAINACCT.json")
     args = p.parse_args()
 
@@ -105,6 +115,15 @@ def main() -> int:
 
     def model_cfg(dropout: bool, remat: bool):
         m = base_cfg.model
+        if args.final:
+            # Keep every shipped default (unrolls, remat split, fast rng);
+            # only the dropout toggle varies.
+            return dataclasses.replace(
+                m,
+                transformer_dropout_rate=(
+                    m.transformer_dropout_rate if dropout else 0.0
+                ),
+            )
         return dataclasses.replace(
             m,
             transformer_dropout_rate=m.transformer_dropout_rate if dropout else 0.0,
@@ -113,9 +132,9 @@ def main() -> int:
         )
 
     # ------------------------------------------------------------------
-    # Per-minibatch units (the scan-body work item), mb = 8
+    # Per-minibatch units (the scan-body work item)
     # ------------------------------------------------------------------
-    mb = 8
+    mb = TrainConfig().minibatch_size_per_device if args.final else 8
     a_mb, l_mb = audio[:mb], labels[:mb]
 
     def grad_fn(mcfg, dropout):
@@ -136,28 +155,39 @@ def main() -> int:
         )
         return lambda: f(params1, a_mb, l_mb, key)
 
-    grid = [
-        ("fwd_mb8", fwd_fn(model_cfg(False, True), False)),
-        ("fwd_mb8_dropout", fwd_fn(model_cfg(True, True), True)),
-        ("grad_mb8_remat", grad_fn(model_cfg(False, True), False)),
-        ("grad_mb8_noremat", grad_fn(model_cfg(False, False), False)),
-        ("grad_mb8_dropout_remat", grad_fn(model_cfg(True, True), True)),
-        ("grad_mb8_dropout_noremat", grad_fn(model_cfg(True, False), True)),
-    ]
+    if args.final:
+        grid = [
+            (f"fwd_mb{mb}_final", fwd_fn(model_cfg(False, True), False)),
+            (f"fwd_mb{mb}_dropout_final", fwd_fn(model_cfg(True, True), True)),
+            (f"grad_mb{mb}_final", grad_fn(model_cfg(False, True), False)),
+            (f"grad_mb{mb}_dropout_final", grad_fn(model_cfg(True, True), True)),
+        ]
+    else:
+        grid = [
+            ("fwd_mb8", fwd_fn(model_cfg(False, True), False)),
+            ("fwd_mb8_dropout", fwd_fn(model_cfg(True, True), True)),
+            ("grad_mb8_remat", grad_fn(model_cfg(False, True), False)),
+            ("grad_mb8_noremat", grad_fn(model_cfg(False, False), False)),
+            ("grad_mb8_dropout_remat", grad_fn(model_cfg(True, True), True)),
+            ("grad_mb8_dropout_noremat", grad_fn(model_cfg(True, False), True)),
+        ]
     for name, fn in grid:
         ms = _timed(fn, args.iters)
         results[name] = round(ms, 3)
         print(f"{name}: {ms:.3f} ms", flush=True)
 
     # ------------------------------------------------------------------
-    # Section-level grads (where inside the model the time goes), mb = 8
+    # Section-level grads (where inside the model the time goes)
     # ------------------------------------------------------------------
     from audio_to_midi_tpu.models.convnext import cnn_forward
     from audio_to_midi_tpu.models.model import decoder
     from audio_to_midi_tpu.models.transformer import transformer_stack
     from audio_to_midi_tpu.train.loss import sigmoid_bce_sum
 
-    for remat, tag in ((True, "remat"), (False, "noremat")):
+    section_grid = (
+        ((True, "final"),) if args.final else ((True, "remat"), (False, "noremat"))
+    )
+    for remat, tag in section_grid:
         mcfg = model_cfg(False, remat)
 
         def cnn_loss(p, a):
@@ -171,8 +201,8 @@ def main() -> int:
 
         cnn_g = jax.jit(lambda p, a: jax.value_and_grad(cnn_loss)(p, a))
         ms = _timed(lambda: cnn_g(params1, a_mb), args.iters)
-        results[f"cnn_grad_mb8_{tag}"] = round(ms, 3)
-        print(f"cnn_grad_mb8_{tag}: {ms:.3f} ms", flush=True)
+        results[f"cnn_grad_mb{mb}_{tag}"] = round(ms, 3)
+        print(f"cnn_grad_mb{mb}_{tag}: {ms:.3f} ms", flush=True)
 
         h0 = jax.jit(
             lambda p, a: cnn_forward(
@@ -195,8 +225,8 @@ def main() -> int:
 
         tr_g = jax.jit(lambda p, h, l: jax.value_and_grad(tr_loss)(p, h, l))
         ms = _timed(lambda: tr_g(params1, h0, l_mb), args.iters)
-        results[f"tr_grad_mb8_{tag}"] = round(ms, 3)
-        print(f"tr_grad_mb8_{tag}: {ms:.3f} ms", flush=True)
+        results[f"tr_grad_mb{mb}_{tag}"] = round(ms, 3)
+        print(f"tr_grad_mb{mb}_{tag}: {ms:.3f} ms", flush=True)
 
     # ------------------------------------------------------------------
     # Optimizer chain alone (ensemble vmap shape, as the step runs it)
@@ -222,14 +252,18 @@ def main() -> int:
     # ------------------------------------------------------------------
     # Full train step grid: minibatch x dropout x remat
     # ------------------------------------------------------------------
-    mbs = [8, 64] if args.quick else [8, 16, 32, 64]
-    step_grid = []
-    for mb_i in mbs:
-        step_grid.append((mb_i, True, True))    # reference-parity default
-        step_grid.append((mb_i, True, False))   # no remat
-    if not args.quick:
-        step_grid.append((8, False, True))      # dropout-free baselines
-        step_grid.append((64, False, False))
+    if args.final:
+        # The shipped default step + its dropout-free twin, nothing else.
+        step_grid = [(mb, True, True), (mb, False, True)]
+    else:
+        mbs = [8, 64] if args.quick else [8, 16, 32, 64]
+        step_grid = []
+        for mb_i in mbs:
+            step_grid.append((mb_i, True, True))    # reference-parity default
+            step_grid.append((mb_i, True, False))   # no remat
+        if not args.quick:
+            step_grid.append((8, False, True))      # dropout-free baselines
+            step_grid.append((64, False, False))
 
     import numpy as np
 
@@ -260,7 +294,7 @@ def main() -> int:
             return out.loss
 
         name = f"step_mb{mb_i}" + ("_dropout" if dropout else "") + (
-            "_remat" if remat else "_noremat"
+            "_final" if args.final else ("_remat" if remat else "_noremat")
         )
         try:
             ms = _timed(one, max(args.iters // 2, 5))

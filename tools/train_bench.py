@@ -1,5 +1,5 @@
 """Training-throughput benchmark at the reference's production shape
-(train.py:743-772: batch 64, minibatch 8 per device, full default model).
+(train.py:743-772: batch 64, full default model; minibatch from TrainConfig).
 
 Measures:
   * device-resident: synthetic batches pre-placed on device — pure train-step
@@ -9,7 +9,7 @@ Measures:
 
 Writes TRAINBENCH.json and prints one JSON line per mode.
 
-Usage: python tools/train_bench.py [--steps 30] [--batch 64] [--minibatch 8]
+Usage: python tools/train_bench.py [--steps 30] [--batch 64] [--minibatch N]
 """
 
 from __future__ import annotations
@@ -28,7 +28,8 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--batch", type=int, default=64)
-    p.add_argument("--minibatch", type=int, default=8)
+    p.add_argument("--minibatch", type=int, default=None,
+               help="per-device accumulation minibatch (default: TrainConfig default)")
     p.add_argument("--out", default="TRAINBENCH.json")
     p.add_argument("--skip-loader", action="store_true")
     p.add_argument("--dropout-rate", type=float, default=None,
@@ -57,6 +58,8 @@ def main() -> int:
         setup_optimizers,
     )
 
+    if args.minibatch is None:
+        args.minibatch = TrainConfig().minibatch_size_per_device
     cfg = Config(
         train=TrainConfig(
             batch_size=args.batch,
@@ -83,7 +86,7 @@ def main() -> int:
     opt_state = jax.vmap(tx.init)(params)
     opt_state = shard_params(opt_state, mesh)
     step_fn = make_train_step(cfg, tx, rope, mesh=mesh, ensemble=True)
-    minibatch = args.minibatch * max(1, len(jax.devices()))
+    minibatch = min(args.minibatch * max(1, len(jax.devices())), args.batch)
 
     audio = jax.random.normal(
         jax.random.PRNGKey(1), (args.batch, 2, cfg.data.samples_per_window), jnp.float32
