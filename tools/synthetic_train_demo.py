@@ -135,11 +135,21 @@ def main():
     curve: list[list] = []
 
     class _CurveWriter:
-        """summary_writer shim capturing the loop's holdout eval scalars."""
+        """summary_writer shim capturing the loop's holdout eval scalars.
+
+        The partial curve is flushed to ``<json_out>.partial`` after every
+        scalar so an interrupted run still leaves its metric history behind.
+        """
 
         def add_scalar(self, tag, value, step):
             if tag.startswith("train/test-"):
                 curve.append([tag.removeprefix("train/test-"), step, value])
+                if args.json_out:
+                    import json
+
+                    Path(args.json_out + ".partial").write_text(
+                        json.dumps({"holdout_curve": curve}) + "\n"
+                    )
 
         def add_figure(self, *a, **k):
             pass
