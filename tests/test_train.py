@@ -488,8 +488,9 @@ def test_fused_flat_optimizer_matches_per_leaf():
 
 def test_remat_and_unroll_flags_are_grad_exact():
     """The measured perf knobs (transformer_remat, cnn_remat,
-    transformer_scan_unroll) change scheduling/memory only: identical loss
-    and gradients (STEPTIME round 4 defaults vs reference-parity settings)."""
+    transformer_scan_unroll, cnn_scan_unroll) change scheduling/memory only:
+    identical loss and gradients (STEPTIME round 4 defaults vs
+    reference-parity settings)."""
     from audio_to_midi_tpu.train.loss import batch_loss
 
     cfg = small_config()
@@ -499,10 +500,13 @@ def test_remat_and_unroll_flags_are_grad_exact():
     l = jnp.zeros((2, 20, 90))
 
     outs = []
-    for remat, unroll in ((True, 1), (False, 8), (False, 1), (True, 8)):
+    for remat, unroll, cnn_unroll in (
+        (True, 1, 1), (False, 8, 21), (False, 1, 1), (True, 8, 21),
+        (True, 1, 3),
+    ):
         m = dataclasses.replace(
             cfg.model, transformer_remat=remat, cnn_remat=remat,
-            transformer_scan_unroll=unroll,
+            transformer_scan_unroll=unroll, cnn_scan_unroll=cnn_unroll,
         )
         v, g = jax.value_and_grad(batch_loss)(
             params, m, a, l, rope, jnp.float32(1.0), None, jnp.float32, False
