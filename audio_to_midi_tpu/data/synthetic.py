@@ -153,6 +153,14 @@ def _family_voice(family: str, rng: np.random.Generator) -> dict:
             attack_s=float(rng.uniform(0.01, 0.06)),
             tremolo=(float(rng.uniform(0.1, 0.4)), float(rng.uniform(4.0, 7.0))),
         )
+    if family == "mixed":
+        # Corpus-coverage mode: each sample drawn from one of the disjoint
+        # families at random.  The complementary experiment to the transfer
+        # run — shows the same harness recovers per-family quality once the
+        # family is represented in the training corpus.
+        return _family_voice(
+            "percussive" if rng.random() < 0.5 else "sustained", rng
+        )
     raise ValueError(f"unknown synthesis family {family!r}")
 
 

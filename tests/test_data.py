@@ -255,6 +255,33 @@ def test_synthesis_families_disjoint_and_reproducible(tmp_path):
     assert not np.array_equal(a_p, a_s)
 
 
+def test_mixed_family_draws_both_generators(tmp_path):
+    """family="mixed" (the corpus-coverage twin of the transfer experiment)
+    draws each sample's voice from one of the two disjoint families,
+    reproducibly, and over enough samples covers both."""
+    # Voice-level: the sustained family is identified by its structural
+    # keys (slow attack / inharmonicity / tremolo), which percussive lacks.
+    kinds = set()
+    for i in range(16):
+        rng = np.random.default_rng(1000 + i)
+        voice = synthetic._family_voice("mixed", rng)
+        kinds.add("sustained" if "attack_s" in voice else "percussive")
+    assert kinds == {"percussive", "sustained"}
+    # Dataset-level: reproducible bytes and valid audio.  (The family
+    # choice consumes an rng draw, so mixed renders are not byte-compared
+    # with pure-family renders — only with themselves.)
+    kw = dict(num_samples=4, duration_s=2.0, notes_per_sample=3, seed=11)
+    mix, mix2 = tmp_path / "mix", tmp_path / "mix2"
+    synthetic.make_synthetic_dataset(mix, family="mixed", **kw)
+    synthetic.make_synthetic_dataset(mix2, family="mixed", **kw)
+    for i in range(kw["num_samples"]):
+        wav, csv = f"sample_{i:03d}.wav", f"sample_{i:03d}.csv"
+        assert (mix / wav).read_bytes() == (mix2 / wav).read_bytes()
+        assert (mix / csv).read_bytes() == (mix2 / csv).read_bytes()
+        a = audio_io.decode_audio(mix / wav, 16000)
+        assert np.isfinite(a).all() and np.abs(a).max() > 1e-4
+
+
 def test_sustained_family_structure():
     """The sustained voice's structural controls actually engage:
     inharmonicity shifts partials off exact harmonics, slow attack delays
