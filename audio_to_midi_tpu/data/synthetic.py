@@ -153,15 +153,20 @@ def _family_voice(family: str, rng: np.random.Generator) -> dict:
             attack_s=float(rng.uniform(0.01, 0.06)),
             tremolo=(float(rng.uniform(0.1, 0.4)), float(rng.uniform(4.0, 7.0))),
         )
-    if family == "mixed":
-        # Corpus-coverage mode: each sample drawn from one of the disjoint
-        # families at random.  The complementary experiment to the transfer
-        # run — shows the same harness recovers per-family quality once the
-        # family is represented in the training corpus.
-        return _family_voice(
-            "percussive" if rng.random() < 0.5 else "sustained", rng
-        )
     raise ValueError(f"unknown synthesis family {family!r}")
+
+
+def _resolve_family(family: str, index: int) -> str:
+    """Map a requested family name to the concrete per-sample generator.
+
+    "mixed" (the corpus-coverage twin of the cross-family transfer
+    experiment) alternates deterministically by sample index, so every
+    corpus — however small — is exactly 50/50 and a mixed dataset's
+    even/odd samples are byte-identical to the corresponding pure-family
+    datasets (the family choice consumes no rng draw)."""
+    if family == "mixed":
+        return "percussive" if index % 2 == 0 else "sustained"
+    return family
 
 
 def make_synthetic_dataset(
@@ -190,7 +195,7 @@ def make_synthetic_dataset(
         voice: dict = {}
         if family is not None:
             rng = np.random.default_rng(s + 7_777_777)
-            voice = _family_voice(family, rng)
+            voice = _family_voice(_resolve_family(family, i), rng)
             chord_prob = float(rng.uniform(0.1, 0.5))
         elif variety:
             rng = np.random.default_rng(s + 7_777_777)

@@ -257,27 +257,28 @@ def test_synthesis_families_disjoint_and_reproducible(tmp_path):
 
 def test_mixed_family_draws_both_generators(tmp_path):
     """family="mixed" (the corpus-coverage twin of the transfer experiment)
-    draws each sample's voice from one of the two disjoint families,
-    reproducibly, and over enough samples covers both."""
-    # Voice-level: the sustained family is identified by its structural
-    # keys (slow attack / inharmonicity / tremolo), which percussive lacks.
-    kinds = set()
-    for i in range(16):
-        rng = np.random.default_rng(1000 + i)
-        voice = synthetic._family_voice("mixed", rng)
-        kinds.add("sustained" if "attack_s" in voice else "percussive")
-    assert kinds == {"percussive", "sustained"}
-    # Dataset-level: reproducible bytes and valid audio.  (The family
-    # choice consumes an rng draw, so mixed renders are not byte-compared
-    # with pure-family renders — only with themselves.)
+    alternates the two disjoint families deterministically by sample index —
+    exactly 50/50 at any corpus size (advice r04: a stochastic mix can skew
+    small corpora)."""
+    # The resolver is index-deterministic.
+    fams = [synthetic._resolve_family("mixed", i) for i in range(6)]
+    assert fams == ["percussive", "sustained"] * 3
+    assert synthetic._resolve_family("sustained", 4) == "sustained"
+    # Dataset-level: because the family choice consumes no rng draw, a
+    # mixed dataset's even samples are byte-identical to the pure
+    # percussive dataset and odd samples to the pure sustained one.
     kw = dict(num_samples=4, duration_s=2.0, notes_per_sample=3, seed=11)
-    mix, mix2 = tmp_path / "mix", tmp_path / "mix2"
+    mix = tmp_path / "mix"
+    perc = tmp_path / "perc"
+    sus = tmp_path / "sus"
     synthetic.make_synthetic_dataset(mix, family="mixed", **kw)
-    synthetic.make_synthetic_dataset(mix2, family="mixed", **kw)
+    synthetic.make_synthetic_dataset(perc, family="percussive", **kw)
+    synthetic.make_synthetic_dataset(sus, family="sustained", **kw)
     for i in range(kw["num_samples"]):
         wav, csv = f"sample_{i:03d}.wav", f"sample_{i:03d}.csv"
-        assert (mix / wav).read_bytes() == (mix2 / wav).read_bytes()
-        assert (mix / csv).read_bytes() == (mix2 / csv).read_bytes()
+        twin = perc if i % 2 == 0 else sus
+        assert (mix / wav).read_bytes() == (twin / wav).read_bytes()
+        assert (mix / csv).read_bytes() == (twin / csv).read_bytes()
         a = audio_io.decode_audio(mix / wav, 16000)
         assert np.isfinite(a).all() and np.abs(a).max() > 1e-4
 

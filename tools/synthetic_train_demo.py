@@ -48,13 +48,14 @@ def main():
         "--variety", action="store_true",
         help="timbre-varied + chordal synthetic data (generalization mode)",
     )
-    p.add_argument(
+    fam = p.add_mutually_exclusive_group()
+    fam.add_argument(
         "--family-split", action="store_true",
         help="cross-family generalization: train on the 'percussive' family, "
         "hold out BOTH unseen-percussive and the structurally-disjoint "
         "'sustained' family (slow attack, inharmonic partials, tremolo)",
     )
-    p.add_argument(
+    fam.add_argument(
         "--family-mixed", action="store_true",
         help="corpus-coverage twin of --family-split: train on a 50/50 mix "
         "of both families against the IDENTICAL holdout sets (same seeds), "
