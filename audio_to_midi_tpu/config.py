@@ -143,6 +143,24 @@ class ModelConfig:
 
     output_vocab: int = MIDI_EVENT_VOCAB_SIZE
 
+    def for_serving(self) -> "ModelConfig":
+        """Serving-tuned scheduling knobs (weights-compatible: unroll/remat
+        knobs change the XLA schedule, never the math).
+
+        The round-4 unroll defaults were chosen by A/B on the TRAINING step;
+        at the serving-optimal batch (128) they are a measured ~2.7% LOSS on
+        the forward program: tools/infer_unroll_ab.py at batch 128 measures
+        unroll-1 at 356.2 ms/20-batch program (35,932 audio-s/s device) vs
+        366.0 ms (34,973) for the train-tuned unrolls — and unroll-1
+        cold-compiles in ~12 s instead of ~180 s.  (At batch 256 the train
+        knobs were ~1.3% ahead — INFER_AB.json — but 256 is not the serving
+        peak.)  Serving entry points pin these knobs via this method."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self, cnn_scan_unroll=1, transformer_scan_unroll=1
+        )
+
     @property
     def transformer_hidden_dim(self) -> int:
         return self.dims[-1]
@@ -228,6 +246,21 @@ class TransformSettings:
     # (python.rs:923) — almost certainly a bug.  ``True`` reproduces it;
     # ``False`` uses pan_probability as intended.
     parity_pan_uses_channel_switch_probability: bool = False
+
+    # --- Timbre-perturbing extensions (beyond the reference's 9; all OFF
+    # by default for parity).  The reference transforms never change timbre,
+    # and the r04 cross-family generalization experiment showed the model
+    # overfitting the training timbre family (GENBENCH_r04); these attack
+    # that directly (device path only, data/augment_device.py):
+    #   * random EQ: smooth random log-magnitude filter (random-cepstrum FIR)
+    #     reshapes the harmonic rolloff;
+    #   * dynamics warp: local-RMS envelope raised to a random power —
+    #     softens/sharpens attacks (percussive <-> slow-attack bridge);
+    #   * AM jitter: random slow amplitude modulation (tremolo bridge).
+    eq_probability: float = 0.0
+    eq_strength: float = 0.4              # sigma of the random cepstral coefs
+    dynamics_warp_probability: float = 0.0
+    am_jitter_probability: float = 0.0
 
     def as_tuple(self) -> tuple:
         return (

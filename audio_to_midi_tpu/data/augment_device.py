@@ -173,6 +173,89 @@ def transform_for_training_device(
 
     audio = _apply_n(_n_apps(settings.noise_probability, b), noise_once, audio, k_noise)
 
+    # --- timbre-perturbing extensions (no reference counterpart; all OFF by
+    # default — see config.TransformSettings).  Label-preserving: linear
+    # filtering / amplitude shaping never moves onsets or pitches.
+    if (
+        settings.eq_probability > 0
+        or settings.dynamics_warp_probability > 0
+        or settings.am_jitter_probability > 0
+    ):
+        k_eq, k_dyn, k_am = jax.random.split(jax.random.fold_in(key, 77), 3)
+
+        # random EQ: 128-tap FIR from a random smooth log-magnitude curve
+        # H(f) = exp(sum_i a_i cos(pi i f/fn)), a_i ~ N(0, strength/i) —
+        # a zero-mean random cepstrum, i.e. a gentle random tilt/ripple
+        # reshaping the harmonic rolloff (timbre) without notching.
+        taps = 128
+        freqs = jnp.linspace(0.0, 1.0, taps // 2 + 1)
+
+        def eq_once(audio, k):
+            k1, k2 = jax.random.split(k)
+            idx = jax.random.randint(k1, (), 0, b)
+            orders = jnp.arange(1, 5, dtype=jnp.float32)
+            coef = (
+                jax.random.normal(k2, (4,))
+                * settings.eq_strength / orders
+            )
+            log_mag = jnp.sum(
+                coef[:, None] * jnp.cos(jnp.pi * orders[:, None] * freqs[None, :]),
+                axis=0,
+            )
+            h = jnp.fft.irfft(jnp.exp(log_mag).astype(jnp.complex64), taps)
+            h = jnp.roll(h, taps // 2)  # centered (linear-phase-ish) kernel
+            pad = taps // 2
+            x = jnp.pad(audio[idx], ((0, 0), (pad, pad - 1)))
+            y = jax.vmap(lambda ch: jnp.convolve(ch, h, mode="valid"))(x)
+            return audio.at[idx].set(y)
+
+        audio = _apply_n(_n_apps(settings.eq_probability, b), eq_once, audio, k_eq)
+
+        # dynamics warp: local-RMS envelope (non-overlapping 256-sample
+        # windows) raised to a random power gamma-1 scales the sample —
+        # gamma < 1 compresses dynamics (softens attacks towards the
+        # "sustained" family), gamma > 1 expands them.
+        hop = 256
+        nw = n // hop
+
+        def dyn_once(audio, k):
+            k1, k2 = jax.random.split(k)
+            idx = jax.random.randint(k1, (), 0, b)
+            gamma = jax.random.uniform(k2, minval=0.6, maxval=1.5)
+            item = audio[idx]
+            seg = item[:, : nw * hop].reshape(2, nw, hop)
+            rms = jnp.sqrt(jnp.mean(seg**2, axis=-1) + 1e-8)  # (2, nw)
+            scale = (rms / (jnp.max(rms, axis=-1, keepdims=True) + 1e-8)) ** (
+                gamma - 1.0
+            )
+            scale_full = jnp.repeat(scale, hop, axis=-1)
+            scale_full = jnp.pad(
+                scale_full, ((0, 0), (0, n - nw * hop)), mode="edge"
+            )
+            return audio.at[idx].set(item * scale_full)
+
+        audio = _apply_n(
+            _n_apps(settings.dynamics_warp_probability, b), dyn_once, audio, k_dyn
+        )
+
+        # AM jitter: slow sinusoidal amplitude modulation, depth U(0, 0.4)
+        # at U(2, 8) Hz — the tremolo bridge.  Sample rate is recovered from
+        # the 5 s window length (n samples per MODEL_AUDIO_LENGTH seconds).
+        t = jnp.arange(n, dtype=jnp.float32) / jnp.float32(n)
+
+        def am_once(audio, k):
+            k1, k2, k3, k4 = jax.random.split(k, 4)
+            idx = jax.random.randint(k1, (), 0, b)
+            depth = jax.random.uniform(k2, minval=0.0, maxval=0.4)
+            cycles = jax.random.uniform(k3, minval=10.0, maxval=40.0)  # 2-8 Hz over 5 s
+            phase = jax.random.uniform(k4, maxval=2.0 * jnp.pi)
+            env = 1.0 - depth * 0.5 * (1.0 - jnp.cos(2 * jnp.pi * cycles * t + phase))
+            return audio.at[idx].set(audio[idx] * env[None, :])
+
+        audio = _apply_n(
+            _n_apps(settings.am_jitter_probability, b), am_once, audio, k_am
+        )
+
     # label smoothing (python.rs:822-836)
     alpha = settings.label_smoothing_alpha
     if alpha > 0:

@@ -93,6 +93,75 @@ def _qkv(x: jax.Array, p: Params, num_heads: int, rope: RopeFreqs):
     return q, k, v
 
 
+def _tp_shard_ctx(num_heads: int):
+    """(mesh, model_size) when head-sharded TP kernels are active, else None.
+
+    Active iff the train loop (or a test) set the TP attention mesh
+    (parallel/tp.set_tp_attention_mesh) AND the heads divide the model axis —
+    the same condition under which tp_spec_tree shards the head projections,
+    so activations arrive with contiguous whole-head blocks per shard.
+    """
+    from ..parallel import tp as tp_mod
+
+    mesh = tp_mod.tp_attention_mesh()
+    if mesh is None:
+        return None
+    from ..parallel.mesh import MODEL_AXIS
+
+    msize = mesh.shape.get(MODEL_AXIS, 1)
+    if msize <= 1 or num_heads % msize:
+        return None
+    return mesh, msize
+
+
+def _shard_heads(call, num_heads: int, tensors, key: jax.Array | None = None):
+    """Run an attention-core kernel per TP shard over its local heads.
+
+    ``tensors``: 3-d (G, S, H*hd)-shaped arrays with contiguous head blocks in
+    the last dim; ``call(local_heads, *local_tensors, key)`` must be head-
+    local (true of every attention core — heads never interact).  Without an
+    active TP context this is exactly ``call(num_heads, *tensors, key)``.
+
+    Under TP the call runs inside ``jax.shard_map`` manual over the "model"
+    axis (and "data" when the batch divides — otherwise the batch stays
+    auto/GSPMD-managed, which replicates the opaque kernel over data: correct,
+    and only hit by ragged eval batches).  The ensemble axis is always auto —
+    the train step's ensemble vmap rides shard_map's batching rule.  The
+    dropout ``key`` is decorrelated per shard via fold_in(axis_index) so no
+    two (sample, head) streams coincide across shards.
+    """
+    ctx = _tp_shard_ctx(num_heads)
+    if ctx is None:
+        return call(num_heads, *tensors, key)
+    mesh, msize = ctx
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    g = tensors[0].shape[0]
+    data = mesh.shape.get(DATA_AXIS, 1)
+    use_data = data > 1 and g % data == 0
+    manual = {MODEL_AXIS} | ({DATA_AXIS} if use_data else set())
+    spec = P(DATA_AXIS if use_data else None, None, MODEL_AXIS)
+
+    def body(*ts):
+        k = key
+        if k is not None:
+            k = jax.random.fold_in(k, jax.lax.axis_index(MODEL_AXIS))
+            if use_data:
+                k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
+        return call(num_heads // msize, *ts, k)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec,) * len(tensors),
+        out_specs=spec,
+        check_vma=False,
+        axis_names=manual,
+    )(*tensors)
+
+
 def _attend(
     q: jax.Array,
     k: jax.Array,
@@ -135,11 +204,15 @@ def _attend(
         *lead, s, h, hd = q.shape
         flat = lambda x: x.reshape(-1, s, h * hd)
         if drop_kernel_ok:
-            out = attend_nhd_dropout(
-                flat(q), flat(k), flat(v), key, h, dropout_rate, block
-            )
+            def call(h_local, fq, fk, fv, k_):
+                return attend_nhd_dropout(fq, fk, fv, k_, h_local, dropout_rate, block)
+
+            out = _shard_heads(call, h, (flat(q), flat(k), flat(v)), key=key)
         else:
-            out = fused_attention_nhd_diff(flat(q), flat(k), flat(v), h, block)
+            def call(h_local, fq, fk, fv, _k):
+                return fused_attention_nhd_diff(fq, fk, fv, h_local, block)
+
+            out = _shard_heads(call, h, (flat(q), flat(k), flat(v)))
         return out.reshape(*lead, s, h * hd)
 
     hd = q.shape[-1]
@@ -334,23 +407,39 @@ def local_self_attention(
             if pa.prng_dropout_available():
                 # Mask generated in-kernel by the TPU hardware PRNG — no
                 # bits to generate or stream through HBM (PERF.md round 3).
-                out = pa.fused_local_two_phase_dropout_prng(
-                    flat(qa), flat(ka), flat(qb), flat(kb), v,
-                    pa.seed_from_key(key), heads, window, threshold,
-                )
+                def call(h_local, fqa, fka, fqb, fkb, v_, k_):
+                    return pa.fused_local_two_phase_dropout_prng(
+                        fqa, fka, fqb, fkb, v_,
+                        pa.seed_from_key(k_), h_local, window, threshold,
+                    )
             else:
-                bits = pa.random_bits_fast(key, (2, b, heads, padded, padded))
-                out = fused_local_two_phase_dropout(
-                    flat(qa), flat(ka), flat(qb), flat(kb), v,
-                    bits[0], bits[1], heads, window, threshold,
-                )
-        elif cfg.attention_impl == "pallas_rw":
-            out = fused_local_two_phase_rw(
-                flat(qa), flat(ka), flat(qb), flat(kb), v, heads, window
+                def call(h_local, fqa, fka, fqb, fkb, v_, k_):
+                    bits = pa.random_bits_fast(
+                        k_, (2, v_.shape[0], h_local, padded, padded)
+                    )
+                    return fused_local_two_phase_dropout(
+                        fqa, fka, fqb, fkb, v_,
+                        bits[0], bits[1], h_local, window, threshold,
+                    )
+
+            out = _shard_heads(
+                call, heads, (flat(qa), flat(ka), flat(qb), flat(kb), v),
+                key=key,
             )
         else:
-            out = fused_local_two_phase(
-                flat(qa), flat(ka), flat(qb), flat(kb), v, heads, window
+            if cfg.attention_impl == "pallas_rw":
+                def call(h_local, fqa, fka, fqb, fkb, v_, _k):
+                    return fused_local_two_phase_rw(
+                        fqa, fka, fqb, fkb, v_, h_local, window
+                    )
+            else:
+                def call(h_local, fqa, fka, fqb, fkb, v_, _k):
+                    return fused_local_two_phase(
+                        fqa, fka, fqb, fkb, v_, h_local, window
+                    )
+
+            out = _shard_heads(
+                call, heads, (flat(qa), flat(ka), flat(qb), flat(kb), v)
             )
         # Reference quirk: crop the padded-coordinate average to the first
         # seq_len rows; out-proj is bias-free so it commutes with the crop.

@@ -123,3 +123,39 @@ def shard_params_tp(params, mesh: Mesh, *, num_heads: int, ensemble: bool = Fals
     """Place a pytree with Megatron TP (+ optional ensemble axis-0) sharding."""
     specs = tp_spec_tree(params, mesh, num_heads=num_heads, ensemble=ensemble)
     return jax.tree.map(jax.device_put, params, specs)
+
+
+# ---------------------------------------------------------------------------
+# Head-sharded Pallas attention under TP (VERDICT r04 #7)
+#
+# The fused attention kernels (ops/pallas_attention.py) are single-chip
+# programs: GSPMD cannot partition the opaque pallas_call, so TP used to
+# force attention_impl="xla" (+16.2 ms/step by PERF.md's own measurement).
+# But attention heads never interact, and the TP sharding rule keeps heads
+# whole per shard (head-split rule above) — so the kernels can run
+# per-shard on their local heads inside a `jax.shard_map` that is MANUAL
+# over the "model" (and, when the batch divides, "data") axes and AUTO over
+# everything else (the ensemble axis stays a vmap dim; shard_map's batching
+# rule handles it).  The all-reduce stays at the out-projection, exactly as
+# in the einsum formulation.  models/attention.py consults this module-level
+# context at trace time; the train loop sets it whenever the mesh has an
+# active model axis and the attention impl is kernel-based.
+# ---------------------------------------------------------------------------
+
+_TP_ATTENTION_MESH: Optional[Mesh] = None
+
+
+def set_tp_attention_mesh(mesh: Optional[Mesh]) -> None:
+    """Enable (mesh with a >1 "model" axis) or clear (None / no model axis)
+    head-sharded Pallas attention.  Read at trace time by models/attention;
+    set it before the first step/eval trace and keep it constant for the
+    run (jit caches traces)."""
+    global _TP_ATTENTION_MESH
+    if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1:
+        _TP_ATTENTION_MESH = mesh
+    else:
+        _TP_ATTENTION_MESH = None
+
+
+def tp_attention_mesh() -> Optional[Mesh]:
+    return _TP_ATTENTION_MESH

@@ -31,7 +31,8 @@ from audio_to_midi_tpu.utils.compile_cache import enable_default_cache
 
 enable_default_cache()
 
-BATCH = 256
+import os
+BATCH = int(os.environ.get("AB_BATCH", "256"))
 ITERS = 20
 
 
@@ -55,7 +56,7 @@ def bench(tag: str, mcfg) -> tuple[float, float]:
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(ITERS))
         return acc
 
-    scan_program.__name__ = f"ab_{tag}"
+    scan_program.__name__ = f"ab_b{BATCH}_{tag}"
     fn = jax.jit(scan_program)
     t0 = time.perf_counter()
     jax.block_until_ready(fn(params, audio))
@@ -66,7 +67,7 @@ def bench(tag: str, mcfg) -> tuple[float, float]:
     try:
         with jax.profiler.trace(trace_dir):
             jax.block_until_ready(fn(params, audio))
-        dev_ms = _program_ms(trace_dir, f"jit_ab_{tag}")
+        dev_ms = _program_ms(trace_dir, f"jit_ab_b{BATCH}_{tag}")
     finally:
         shutil.rmtree(trace_dir, ignore_errors=True)
     audio_sec = BATCH * cfg.data.model_audio_length * ITERS

@@ -56,6 +56,7 @@ def parse_xplane(trace_dir: str, top: int = 40):
         for name, ms in ranked[:top]:
             print(f"{ms:10.3f} {100*ms/total:6.2f} {counts[name]:7d}  {name[:110]}")
         print(f"{total:10.3f} total (sum across trace lines; may overlap)")
+        return ranked[:top]
 
 
 def main():

@@ -61,6 +61,13 @@ def main():
         "of both families against the IDENTICAL holdout sets (same seeds), "
         "so the two runs differ only in training-corpus coverage",
     )
+    p.add_argument(
+        "--timbre-aug", action="store_true",
+        help="enable the timbre-perturbing device augmentations (random EQ, "
+        "dynamics warp, AM jitter — config.TransformSettings extensions, off "
+        "by default): the r05 intervention against cross-family timbre "
+        "overfitting (GENBENCH_r04)",
+    )
     p.add_argument("--json-out", default=None, help="write results JSON here")
     p.add_argument(
         "--eval-every", type=int, default=0,
@@ -115,8 +122,17 @@ def main():
     model_kw = {}
     if args.fast_compile:
         model_kw = dict(cnn_scan_unroll=1, transformer_scan_unroll=1)
+    transforms = Config().transforms
+    if args.timbre_aug:
+        transforms = dataclasses.replace(
+            transforms,
+            eq_probability=0.8,
+            dynamics_warp_probability=0.5,
+            am_jitter_probability=0.5,
+        )
     cfg = Config(
         model=dataclasses.replace(Config().model, **model_kw),
+        transforms=transforms,
         train=TrainConfig(
             batch_size=args.batch,
             minibatch_size_per_device=args.minibatch,
@@ -218,6 +234,7 @@ def main():
             "steps": args.steps, "batch": args.batch,
             "train_samples": args.train_samples, "variety": args.variety,
             "train_family": train_family,
+            "timbre_aug": args.timbre_aug,
         }
         if curve:
             meta["holdout_curve"] = curve
