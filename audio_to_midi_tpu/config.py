@@ -140,6 +140,15 @@ class ModelConfig:
     # kernels (ops/pallas_convnext.py) — measured SLOWER on v5e defaults,
     # kept for other geometries.  "xla": always the scanned path.
     cnn_impl: str = "pallas"
+    # Fused Pallas BACKWARD for the lane-aligned large-C CNN stages
+    # (ops/pallas_convnext_bwd.py): forward stays on XLA (it wins there),
+    # but under autodiff the stage's backward runs as one kernel — the 21
+    # blocks of stage 5 reversed in VMEM with activations recomputed from
+    # the saved scan carries and weight grads accumulated across the
+    # sequential grid.  Grads agree with the XLA backward to bf16 rounding
+    # (tests/test_pallas_convnext_bwd.py); serving is unaffected (the
+    # primal path never materializes carries).  Measured A/B: PERF.md r5.
+    cnn_bwd_kernel: bool = True
 
     output_vocab: int = MIDI_EVENT_VOCAB_SIZE
 

@@ -25,6 +25,7 @@ import numpy as np
 from ..config import ModelConfig
 from ..ops.pallas_attention import mosaic_dtype_ok
 from ..ops.pallas_convnext import fused_convnext_stage_diff, stage_supported
+from ..ops.pallas_convnext_bwd import bwd_stage_supported, stage_blocks_fused_bwd
 from . import convnext_packed, nn
 from .nn import Params
 
@@ -219,6 +220,20 @@ def cnn_forward(
             # so not part of the default "pallas" path; kept as an option
             # for other geometries.
             h = fused_convnext_stage_diff(h, stage["blocks"])
+            depth_count += depth_i
+            continue
+
+        if (
+            not enable_sdd
+            and cfg.cnn_bwd_kernel
+            and cfg.cnn_impl in ("pallas", "pallas_stage")
+            and bwd_stage_supported(
+                h.shape[1], cfg.dims[i], cfg.cnn_hidden_dims[i], h.dtype
+            )
+        ):
+            # XLA forward (it beats the fused fwd kernel), fused Pallas
+            # BACKWARD from the saved scan carries — no remat recompute.
+            h = stage_blocks_fused_bwd(h, stage["blocks"])
             depth_count += depth_i
             continue
 
