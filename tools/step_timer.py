@@ -64,9 +64,11 @@ def main() -> int:
         token = token.strip()
         mb, unroll, tr_remat, cnn_remat = 8, 1, True, True
         dropout, fusedopt, impl, fastdrop = True, False, None, False
-        cnn_unroll = 1
+        cnn_unroll, cnn_bwdk = 1, True
         for part in token.split("_"):
-            if part.startswith("cu") and part[2:].isdigit():
+            if part == "nocnnbwd":
+                cnn_bwdk = False
+            elif part.startswith("cu") and part[2:].isdigit():
                 cnn_unroll = int(part[2:])
             elif part.startswith("u") and part[1:].isdigit():
                 unroll = int(part[1:])
@@ -96,6 +98,7 @@ def main() -> int:
                     base.model.transformer_dropout_rate if dropout else 0.0
                 ),
                 fast_dropout_rng=fastdrop,
+                cnn_bwd_kernel=cnn_bwdk,
                 **({"attention_impl": impl} if impl else {}),
             ),
             train=dataclasses.replace(
