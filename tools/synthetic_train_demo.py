@@ -74,6 +74,11 @@ def main():
         help="evaluate the holdout every N steps and record a metric curve",
     )
     p.add_argument(
+        "--no-ring", action="store_true",
+        help="disable the device input ring (per-step host wire feed) — for "
+        "the ring-vs-wire quality A/B (VERDICT r04 #6)",
+    )
+    p.add_argument(
         "--fast-compile", action="store_true",
         help="scan-unroll 1 everywhere (same gradients, ~4 ms/step slower, "
         "cold-compiles in ~1-2 min instead of ~17 over the tunnel) — for "
@@ -142,6 +147,7 @@ def main():
             print_every=100,
             testset_loss_every=(args.eval_every or 10**9),
             checkpoint_every=1000,
+            **({"input_ring_capacity": 0} if args.no_ring else {}),
         )
     )
     num_frames = cfg.model.output_frames(cfg.data.samples_per_window)
