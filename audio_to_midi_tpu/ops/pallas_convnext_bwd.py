@@ -39,12 +39,13 @@ _GELU_C1 = 0.044715
 
 
 def _shift(xs: jax.Array, off: int) -> jax.Array:
-    """Rows view (L, C): rows t -> x[t + off], zero-filled (SAME padding)."""
-    l = xs.shape[0]
+    """Per-sample view (n, L, C): rows t -> x[:, t + off], zero-filled (SAME
+    padding); samples never bleed into each other."""
+    l = xs.shape[1]
     if off > 0:
-        return jnp.pad(xs[off:, :], ((0, off), (0, 0)))
+        return jnp.pad(xs[:, off:, :], ((0, 0), (0, off), (0, 0)))
     if off < 0:
-        return jnp.pad(xs[: l + off, :], ((-off, 0), (0, 0)))
+        return jnp.pad(xs[:, : l + off, :], ((0, 0), (-off, 0), (0, 0)))
     return xs
 
 
@@ -55,9 +56,10 @@ def _stage_bwd_kernel(
     dpw2b_ref, dgamma_ref,
     *, depth: int, kernel_size: int,
 ):
-    """One sample per grid cell; blocks unrolled in reverse inside the cell.
+    """One cell of n samples per grid step; blocks unrolled in reverse
+    inside the cell (n chosen by a VMEM budget in `_stage_bwd_pallas`).
 
-    carr_ref: (depth, 1, L, C) bf16 — block d's INPUT (the fwd scan carry).
+    carr_ref: (depth, n, L, C) bf16 — block d's INPUT (the fwd scan carry).
     dy_ref/dx_ref: (1, L, C).  Weight refs as ops/pallas_convnext.py
     (dw (depth,K,C), ln (depth,2,C) f32, pw1 (depth,C,H), pw2 (depth,H,C),
     biases (depth,1,·), gamma (depth,1,C)).  d*_ref: fp32 accumulators with
@@ -66,7 +68,8 @@ def _stage_bwd_kernel(
     grid; cell 0 zero-initializes them.
     """
     i = pl.program_id(0)
-    _, l, c = dy_ref.shape
+    n, l, c = dy_ref.shape
+    rows = n * l
     half_k = kernel_size // 2
 
     @pl.when(i == 0)
@@ -81,17 +84,18 @@ def _stage_bwd_kernel(
         dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
 
     dtype = dy_ref.dtype
-    dx = dy_ref[...].reshape(l, c)  # cotangent of block output, bf16
+    dx = dy_ref[...].reshape(rows, c)  # cotangent of block output, bf16
 
     for d in reversed(range(depth)):
-        x = carr_ref[d].reshape(l, c)
+        x3 = carr_ref[d]  # (n, l, c)
+        x = x3.reshape(rows, c)
 
         # ---- recompute forward (bf16 storage, f32 where XLA is f32) ----
-        u32 = jnp.zeros((l, c), jnp.float32)
+        u32 = jnp.zeros((rows, c), jnp.float32)
         for j in range(kernel_size):
-            u32 += _shift(x, j - half_k).astype(jnp.float32) * dw_ref[
-                d, j, :
-            ].astype(jnp.float32)
+            u32 += _shift(x3, j - half_k).reshape(rows, c).astype(
+                jnp.float32
+            ) * dw_ref[d, j, :].astype(jnp.float32)
         u32 += dwb_ref[d, 0, :].astype(jnp.float32)
         uf = u32.astype(dtype).astype(jnp.float32)  # conv out bf16, LN reads f32
         mean = jnp.mean(uf, axis=-1, keepdims=True)
@@ -160,21 +164,23 @@ def _stage_bwd_kernel(
         du = du32.astype(dtype)  # cotangent of the bf16 conv output
         ddwb_ref[d] += jnp.sum(du32, axis=0)[None, :]
         dus = du.astype(jnp.float32)
-        dxc = jnp.zeros((l, c), jnp.float32)
+        du3 = du.reshape(n, l, c)
+        dxc = jnp.zeros((rows, c), jnp.float32)
         for j in range(kernel_size):
             off = j - half_k
             # y[t] += w[j] * x[t+off]  =>  dw[j] = sum_t du[t]*x[t+off];
             #                              dx[t+off] += w[j]*du[t]  i.e.
             #                              dx[t] += w[j]*du[t-off]
             ddw_ref[d, j, :] += jnp.sum(
-                dus * _shift(x, off).astype(jnp.float32), axis=0
+                dus * _shift(x3, off).reshape(rows, c).astype(jnp.float32),
+                axis=0,
             )
-            dxc += _shift(du, -off).astype(jnp.float32) * dw_ref[d, j, :].astype(
+            dxc += _shift(du3, -off).reshape(rows, c).astype(
                 jnp.float32
-            )
+            ) * dw_ref[d, j, :].astype(jnp.float32)
         dx = do + dxc.astype(dtype)
 
-    dx_ref[...] = dx.reshape(1, l, c)
+    dx_ref[...] = dx.reshape(n, l, c)
 
 
 def _xla_scan(x: jax.Array, blocks) -> jax.Array:
@@ -217,7 +223,24 @@ def _stage_bwd_pallas(carries, blocks, dy):
     dtype = dy.dtype
     weights = _kernel_weights(blocks, dtype)
 
-    cell = pl.BlockSpec((1, l, c), lambda i: (i, 0, 0))
+    # Samples per grid cell: larger cells mean taller MXU matmuls and fewer
+    # accumulator passes, bounded by VMEM (~16 MB/core): double-buffered
+    # carries + resident weights/accumulators + fp32 row temporaries.
+    # Measured on v5e: the production stage-6 geometry (d3, L250, C256,
+    # H512) at n=2 allocates 17.2 MB scoped VMEM against the 16 MB limit —
+    # the estimate below undercounts Mosaic's double buffers and fp32
+    # temporaries by ~6 MB, so the threshold is set where the measured
+    # allocations fit (production stages run n=1; small test geometries
+    # still exercise the n>1 path).
+    fixed = depth * 2 * c * (k + 3 + h) * 4 + depth * 2 * c * (k + 2 + h)
+    n = 1
+    for cand in (8, 4, 2):
+        per_cell = depth * cand * l * c * 2 * 2 + cand * l * (c * 24 + h * 12)
+        if b % cand == 0 and fixed + per_cell <= 6 * 1024 * 1024:
+            n = cand
+            break
+
+    cell = pl.BlockSpec((n, l, c), lambda i: (i, 0, 0))
     acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     out_shapes = [
         jax.ShapeDtypeStruct((b, l, c), dtype),        # dx
@@ -231,13 +254,13 @@ def _stage_bwd_pallas(carries, blocks, dy):
         jax.ShapeDtypeStruct((depth, 1, c), jnp.float32),
     ]
     out_specs = [cell] + [acc(s.shape) for s in out_shapes[1:]]
-    carr_spec = pl.BlockSpec((depth, 1, l, c), lambda i: (0, i, 0, 0))
+    carr_spec = pl.BlockSpec((depth, n, l, c), lambda i: (0, i, 0, 0))
     wspecs = [acc(w.shape) for w in weights]
 
     outs = pl.pallas_call(
         functools.partial(_stage_bwd_kernel, depth=depth, kernel_size=k),
         out_shape=out_shapes,
-        grid=(b,),
+        grid=(b // n,),
         in_specs=[carr_spec, cell] + wspecs,
         out_specs=out_specs,
         interpret=_interpret(),
